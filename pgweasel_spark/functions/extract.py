@@ -1,0 +1,190 @@
+"""JVM-side Column expressions for the pgweasel grammar.
+
+Every function returns a pyspark Column built exclusively from built-in
+``pyspark.sql.functions`` (regexp/when/contains) so the whole extraction
+stage runs inside whole-stage codegen — no Python in the hot path. The
+Python reference semantics live in ``pgweasel_spark.grammar``; tests assert
+column-vs-kernel equality on every record of every reference fixture.
+
+Reference citations are per expression (kmoppel/pgweasel, /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pgweasel_spark import grammar
+
+# --- severity (src/severity.rs:20-101) ------------------------------------
+
+
+def severity_plain(raw: Column) -> Column:
+    """Chained contains in the reference's exact precedence order
+    (LOG: before ERROR: — src/severity.rs:62-101)."""
+    expr = F.lit("log")
+    # build the when-chain back to front so the first needle wins
+    for name in reversed(grammar.SEVERITY_ORDER):
+        expr = F.when(raw.contains(f"{name}:"), F.lit(name.lower())).otherwise(
+            expr
+        )
+    return expr
+
+
+def severity_csv(raw: Column) -> Column:
+    """Same scan with ``,SEV,`` needles (src/severity.rs:20-58)."""
+    expr = F.lit("log")
+    for name in reversed(grammar.SEVERITY_ORDER):
+        expr = F.when(raw.contains(f",{name},"), F.lit(name.lower())).otherwise(
+            expr
+        )
+    return expr
+
+
+def severity(raw: Column, fmt: Column) -> Column:
+    """Format dispatch (src/format/mod.rs:23-28)."""
+    return F.when(fmt == "csv", severity_csv(raw)).otherwise(
+        severity_plain(raw)
+    )
+
+
+def severity_num(sev: Column) -> Column:
+    """Ordinal lookup (src/severity.rs:161-176) as an inline literal map —
+    the broadcast dim join in operators/enrich.py is the enrichment path;
+    this inline form keeps the routing hot path join-free."""
+    mapping = []
+    for k, v in grammar.SEVERITY_NUM.items():
+        mapping += [F.lit(k), F.lit(v)]
+    return F.element_at(F.create_map(*mapping), sev)
+
+
+# --- message (src/format/plain.rs:1-23, src/format/csv.rs:1-53) ------------
+
+#: first ": ", skip following spaces, cut at first newline. Lazy ``.*?``
+#: finds the leftmost colon-space; ``(?s)`` lets it cross line boundaries
+#: exactly like the reference's whole-record byte scan.
+_MESSAGE_PLAIN_RE = r"(?s)^.*?: +([^\n]*)"
+
+#: csvlog field 14 (1-based): 13 fields (quoted with ""-escapes kept
+#: verbatim, or unquoted) then the captured 14th. Possessive quantifiers
+#: keep the Java engine linear on long quoted fields.
+_CSV_FIELD = '(?:"(?:""|[^"])*+"|[^,"]*+)'
+_CSV14_RE = f'^(?:{_CSV_FIELD},){{13}}+("(?:""|[^"])*+"|[^,"]*+)'
+#: match-success probe (field 14 exists iff 13 commas precede it)
+_CSV14_PROBE = f"^(?:{_CSV_FIELD},){{13}}+"
+
+
+def message_plain(raw: Column) -> Column:
+    extracted = F.regexp_extract(raw, _MESSAGE_PLAIN_RE, 1)
+    # distinguish "no ': ' in record" (None) from a legitimately empty
+    # message after the colon-space
+    return F.when(F.instr(raw, ": ") > 0, extracted)
+
+
+def message_csv(raw: Column) -> Column:
+    extracted = F.regexp_extract(raw, _CSV14_RE, 1)
+    # strip surrounding quotes only (""-escapes stay verbatim —
+    # strip_csv_quotes, src/format/csv.rs:46-53)
+    stripped = F.when(
+        (F.length(extracted) >= 2)
+        & extracted.startswith('"')
+        & extracted.endswith('"'),
+        extracted.substr(F.lit(2), F.length(extracted) - 2),
+    ).otherwise(extracted)
+    return F.when(raw.rlike(_CSV14_PROBE), stripped)
+
+
+def message(raw: Column, fmt: Column) -> Column:
+    return F.when(fmt == "csv", message_csv(raw)).otherwise(message_plain(raw))
+
+
+# --- timestamp (src/util.rs:171-200; call site output_results/mod.rs:171) --
+
+#: first three whitespace-separated tokens; the third (TZ/garbage) must
+#: exist but is discarded.
+_TS_TOKENS_RE = r"^\s*(\S+)\s+(\S+)\s+\S"
+
+
+def event_ts(raw: Column) -> Column:
+    tok1 = F.regexp_extract(raw, _TS_TOKENS_RE, 1)
+    tok2 = F.regexp_extract(raw, _TS_TOKENS_RE, 2)
+    joined = F.concat_ws(" ", tok1, tok2)
+    ts = F.try_to_timestamp(joined, F.lit("yyyy-MM-dd HH:mm:ss[.SSS]"))
+    # empty extract means fewer than three tokens → quarantine (the
+    # reference hard-aborts here; we yield null instead, SURVEY.md §4)
+    return F.when(tok1 != "", ts)
+
+
+# --- key=value (src/format/mod.rs:37-68) -----------------------------------
+
+
+def _after_needle(raw: Column, needle: str) -> Column:
+    # first char unconditional (reference takes end = start+1 before the
+    # delimiter scan, src/format/mod.rs:56), then greedy non-delimiters;
+    # (?s:.) admits newline as the first char exactly like the byte scan,
+    # and [^ ,"] also matches newline — the reference's delimiter set is
+    # {space, comma, quote} only.
+    pat = f'{needle}((?s:.)[^ ,"]*)'
+    extracted = F.regexp_extract(raw, pat, 1)
+    return F.when(extracted != "", extracted)
+
+
+def host(raw: Column) -> Column:
+    return _after_needle(raw, "host=")
+
+
+def user(raw: Column) -> Column:
+    return _after_needle(raw, "user=")
+
+
+def db(raw: Column) -> Column:
+    return _after_needle(raw, "database=")
+
+
+def appname(raw: Column) -> Column:
+    return _after_needle(raw, "application_name=")
+
+
+# --- duration (src/duration.rs:5-54) ---------------------------------------
+
+_DURATION_RE = r"duration: *([0-9.]+) *([A-Za-z]*)"
+
+
+def duration_ms(raw: Column) -> Column:
+    num = F.regexp_extract(raw, _DURATION_RE, 1)
+    unit = F.regexp_extract(raw, _DURATION_RE, 2)
+    v = num.try_cast("double")  # '1.2.3' → null, mirroring f64::parse err
+    # ns/us truncate to integer first (Duration::from_nanos(v as u64))
+    ms = (
+        F.when(unit == "ns", F.floor(v) / F.lit(1e6))
+        .when(unit == "us", F.floor(v) / F.lit(1e3))
+        .when(unit == "ms", v)
+        .when(unit == "s", v * 1e3)
+        .when(unit.isin("m", "min", "minutes"), v * 6e4)
+    )
+    return F.when((num != "") & v.isNotNull(), ms)
+
+
+# --- lock / system routing predicates (src/filters/) -----------------------
+
+
+def is_lock(raw: Column) -> Column:
+    """LockingFilter: 17 case-insensitive literals OR case-sensitive
+    ``process [0-9]+ acquired`` (locking_filter.rs:12-83)."""
+    return raw.rlike(grammar.lock_regex())
+
+
+def is_system(raw: Column) -> Column:
+    """SystemFilter: 24 case-insensitive literals (system_filter.rs:12-48)."""
+    return raw.rlike(grammar.system_regex())
+
+
+# --- connections vocabulary (src/aggregators/connections.rs) ---------------
+
+
+def is_conn_failure(raw: Column, sev: Column) -> Column:
+    """FATAL + failure needle (connections.rs:51-57)."""
+    return (sev == "fatal") & (
+        raw.contains(grammar.CONN_FAILURE_NEEDLES[0])
+        | raw.contains(grammar.CONN_FAILURE_NEEDLES[1])
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory with the pipeline's standard configuration.
+
+Tuned for correctness-critical settings first (UTC session timezone — the
+reference parses log timestamps as naive local time and discards the TZ
+token, src/util.rs:171-200; we pin UTC so counts are environment-independent)
+and for scale second (AQE, Arrow, dynamic partition overwrite for idempotent
+resume).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "pgweasel-spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Correctness: naive log timestamps are interpreted in the session
+        # timezone; pin UTC so bucket boundaries and golden counts are
+        # environment-independent (SURVEY.md §7 "hard parts").
+        .config("spark.sql.session.timeZone", "UTC")
+        # The grammar relies on non-ANSI cast semantics in a few places
+        # (bad numeric strings → null, mirroring the reference's
+        # parse().ok()? → None); we use try_* functions explicitly, but
+        # keep ANSI off as a belt-and-braces for oracle parity.
+        .config("spark.sql.ansi.enabled", "false")
+        # Scale: adaptive execution re-plans shuffles at runtime, splits
+        # skewed partitions, and coalesces tiny ones.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas UDFs / mapInPandas (the record-split stage).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Idempotent per-partition re-writes for checkpoint/resume.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions
+            or os.environ.get(
+                "SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
+            ),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
