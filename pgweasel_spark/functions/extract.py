@@ -98,6 +98,18 @@ def message(raw: Column, fmt: Column) -> Column:
     return F.when(fmt == "csv", message_csv(raw)).otherwise(message_plain(raw))
 
 
+#: csvlog field 13 = sql_state_code (PG14+ 26-column grammar, FIXTURES.md
+#: §2d). The reference never extracts it (it only severity-scans field 12
+#: via ``,SEV,`` needles); we surface it for the error-code→category
+#: broadcast enrichment required by the north-star.
+_CSV13_RE = f'^(?:{_CSV_FIELD},){{12}}+("(?:""|[^"])*+"|[^,"]*+)'
+
+
+def sqlstate(raw: Column, fmt: Column) -> Column:
+    extracted = F.regexp_extract(raw, _CSV13_RE, 1)
+    return F.when((fmt == "csv") & (extracted != ""), extracted)
+
+
 # --- timestamp (src/util.rs:171-200; call site output_results/mod.rs:171) --
 
 #: first three whitespace-separated tokens; the third (TZ/garbage) must

@@ -169,16 +169,18 @@ def _csv_page(rng: random.Random, t0: datetime, n_records: int) -> str:
             msg = f"duration: {dur} ms  statement: {rng.choice(_STATEMENTS)}"
         elif roll < 0.6:
             sev, state = "ERROR", rng.choice(["23503", "23505", "22012", "40P01"])
-            msg = rng.choice(_ERRMSGS).replace('"', '""')
+            msg = rng.choice(_ERRMSGS)
         elif roll < 0.75:
             sev, state = "LOG", "00000"
             msg = rng.choice(_SYSMSGS).format(n=rng.randint(1, 500))
         elif roll < 0.85:
             sev, state = "FATAL", "28P01"
-            msg = f'password authentication failed for user ""{user}""'
+            msg = f'password authentication failed for user "{user}"'
         else:
             sev, state = "WARNING", "01000"
             msg = "there is no transaction in progress"
+        # PostgreSQL csvlog always ""-escapes quotes inside quoted fields
+        msg = msg.replace('"', '""')
         app = rng.choice(_APPS)
         rows.append(
             f'{ts},"{user}","{db}",{pid},"10.0.0.{rng.randint(1, 254)}:{rng.randint(10000, 60000)}",'

@@ -1,0 +1,144 @@
+"""Aggregate companion tables (SURVEY.md §2.5).
+
+Each function maps one reference aggregator to declarative DataFrame ops so
+Catalyst plans partial/final HashAggregate (the reference's clone-per-thread
+→ update → merge protocol, src/output_results/mod.rs:84-132, for free) or
+TakeOrderedAndProject (the reference's bounded heap).
+
+Divergences (documented in SURVEY.md §4):
+- errors_top is EXACT top-N; the reference evicts min-count keys at each
+  partial merge (lossy, src/aggregators/error_frequency.rs:54-64). Its own
+  tests only assert top entries, so exact top-N is compatible.
+- counters are longs, not the reference's overflowing u16
+  (src/aggregators/connections.rs:9-17).
+- output order is always deterministic (count desc, key asc); the
+  reference's by-dim prints iterate a HashMap (nondeterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgweasel_spark import grammar
+
+
+def errors_top(df: DataFrame, max_n: int = 20) -> DataFrame:
+    """`errors top --max N` (src/aggregators/error_frequency.rs:23-86):
+    count per extracted message, top N by count. Caller pre-filters to the
+    errors sink (severity >= Error by default, src/main.rs:87)."""
+    return (
+        df.groupBy("message")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("message"))
+        .limit(max_n)
+    )
+
+
+def errors_hist(df: DataFrame, bucket_s: int = 3600) -> DataFrame:
+    """`errors hist -b I` (src/aggregators/error_histogram.rs:21-56):
+    count per epoch-aligned bucket floor(epoch/width)*width. Default 1h
+    (src/main.rs:108)."""
+    bucket = (
+        F.floor(F.unix_timestamp(F.col("event_ts")) / bucket_s) * bucket_s
+    ).alias("bucket_epoch")
+    return (
+        df.groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket_epoch")))
+        .orderBy("bucket_epoch")
+    )
+
+
+def slow_top(df: DataFrame, limit: int = 10) -> DataFrame:
+    """`slow top` (src/aggregators/top_slow_query.rs:25-87): top-K records
+    by extracted duration. orderBy(desc).limit(k) plans
+    TakeOrderedAndProject — a distributed bounded heap, semantically
+    identical to the reference's per-thread heaps + capped merge."""
+    return (
+        df.where(F.col("duration_ms").isNotNull())
+        .orderBy(F.desc("duration_ms"), F.asc("url"), F.asc("record_no"))
+        .limit(limit)
+        .select("duration_ms", "url", "record_no", "event_ts", "raw")
+    )
+
+
+# --- connections (src/aggregators/connections.rs:38-143) --------------------
+
+
+def _conn_flags(df: DataFrame) -> DataFrame:
+    """Row classification exactly per ConnectionsAggregator.update():
+    failure (FATAL + needle) short-circuits; everything else requires
+    severity == Log; received/authorized classified by message prefix."""
+    msg = F.col("message")
+    is_failure = (F.col("severity") == "fatal") & (
+        F.col("raw").contains(grammar.CONN_FAILURE_NEEDLES[0])
+        | F.col("raw").contains(grammar.CONN_FAILURE_NEEDLES[1])
+    )
+    is_log = F.col("severity") == "log"
+    received = (
+        ~is_failure & is_log & msg.startswith(grammar.CONN_RECEIVED_PREFIX)
+    )
+    authorized = (
+        ~is_failure & is_log & msg.startswith(grammar.CONN_AUTHORIZED_PREFIX)
+    )
+    return df.select(
+        "*",
+        is_failure.alias("c_failure"),
+        received.alias("c_received"),
+        authorized.alias("c_authorized"),
+        (authorized & msg.contains(grammar.CONN_SSL_NEEDLE)).alias("c_ssl"),
+    )
+
+
+def connections_totals(df: DataFrame) -> DataFrame:
+    """Single-row totals: attempts / authenticated / ssl / failures."""
+    f = _conn_flags(df)
+    return f.agg(
+        F.sum(F.col("c_received").cast("long")).alias("connection_attempts"),
+        F.sum(F.col("c_authorized").cast("long")).alias("authenticated"),
+        F.sum(F.col("c_ssl").cast("long")).alias("authenticated_ssl"),
+        F.sum(F.col("c_failure").cast("long")).alias("failures"),
+    )
+
+
+def connections_by_dim(df: DataFrame) -> DataFrame:
+    """The four by-dim count maps in one grouping-sets-style pass:
+    host (of received), user/db/appname (of authorized); missing kv →
+    'unknown' (connections.rs:63,86,92,98)."""
+    f = _conn_flags(df)
+    dims = [
+        ("host", "c_received", "host"),
+        ("user", "c_authorized", "user"),
+        ("database", "c_authorized", "db"),
+        ("appname", "c_authorized", "appname"),
+    ]
+    parts = []
+    for dim_name, flag, col in dims:
+        parts.append(
+            f.where(F.col(flag))
+            .groupBy(
+                F.lit(dim_name).alias("dim"),
+                F.coalesce(F.col(col), F.lit("unknown")).alias("value"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("dim", F.desc("cnt"), "value")
+
+
+def connections_buckets(df: DataFrame, bucket_s: int = 600) -> DataFrame:
+    """connection-received count per 10-min epoch-floor bucket
+    (connections.rs:66-75, round_floor :222-227)."""
+    f = _conn_flags(df).where(F.col("c_received"))
+    bucket = (
+        F.floor(F.unix_timestamp(F.col("event_ts")) / bucket_s) * bucket_s
+    ).alias("bucket_epoch")
+    return (
+        f.groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket_epoch")))
+        .orderBy("bucket_epoch")
+    )

@@ -90,6 +90,7 @@ def with_extracted(events: DataFrame) -> DataFrame:
         .withColumn("severity_num", X.severity_num(F.col("severity")))
         .withColumn("event_ts", X.event_ts(raw))
         .withColumn("message", X.message(raw, F.col("format")))
+        .withColumn("sqlstate", X.sqlstate(raw, F.col("format")))
         .withColumn("duration_ms", X.duration_ms(raw))
         .withColumn("host", X.host(raw))
         .withColumn("user", X.user(raw))
