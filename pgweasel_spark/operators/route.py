@@ -87,7 +87,7 @@ def explode_sinks(flagged: DataFrame) -> DataFrame:
         F.array(
             *[
                 F.when(F.col(f"sink_{s}"), F.lit(s))
-                for s in ["errors", "slow", "locks", "system"]
+                for s in SINKS
             ],
             F.when(F.col("is_quarantined"), F.lit("quarantine")),
         )
