@@ -1,38 +1,915 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(names are prefixed with the inventory id: a*=aggregators, f*=filters,
+p*=projections/extractors, r*=record assembly, h*=OLAP/joins, w*=windows,
+d*=dedup, t*=text analysis, e*=embeddings, b*=binary/multimodal), running
+against the driver's TPC-H-ish testdata. Log-grammar operators (p1/p5/p7/
+p8/p9, r3) run on log lines constructed deterministically from the test
+tables, so the *actual* production extraction expressions
+(pgweasel_spark.functions.extract) are validated against an independent
+DuckDB formulation. The full pgweasel semantics on real log corpora are
+covered by tests/ (golden fixture counts).
+
+All float outputs are rounded; all aggregates are explicitly aliased and
+cast so Spark and DuckDB schemas agree (DuckDB SUM(int) is HUGEINT — cast
+to BIGINT in the oracle).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pgweasel_spark import grammar  # noqa: E402
+from pgweasel_spark.functions import extract as X  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + deterministically constructed pgweasel-grammar log lines
+    (identical construction in the DuckDB oracles)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("int")
+    sev_line = (
+        F.when(k < 20, F.lit("LOG:  checkpoint starting ERROR: nested"))
+        .when(k < 40, F.concat(F.upper("event_type"), F.lit(":  message text")))
+        .when(k < 60, F.lit("FATAL:  password authentication failed"))
+        .otherwise(F.concat(F.lit("no needle "), F.col("props")))
+    )
+    dur_line = F.concat(
+        F.lit("exec [1] LOG:  duration: "),
+        F.round(F.col("value"), 2).cast("string"),
+        F.lit(" ms  statement: SELECT 1"),
+    )
+    kv_line = F.concat(
+        F.lit("database=db"),
+        (F.col("event_id") % 4).cast("string"),
+        F.lit(",user=u"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(" host=10.0.0."),
+        (F.col("event_id") % 9).cast("string"),
+    )
+    msg_line = F.concat(F.col("event_type"), F.lit(":   "), F.col("props"))
+    ts_line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" UTC [123] LOG:  checkpoint"),
+    )
+    return (
+        ev.withColumn("k", k)
+        .withColumn("sev_line", sev_line)
+        .withColumn("dur_line", dur_line)
+        .withColumn("kv_line", kv_line)
+        .withColumn("msg_line", msg_line)
+        .withColumn("ts_line", ts_line)
+    )
+
+
+_LINES_SQL = """
+    SELECT *,
+      CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+      CASE
+        WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) < 20
+          THEN 'LOG:  checkpoint starting ERROR: nested'
+        WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) < 40
+          THEN upper(event_type) || ':  message text'
+        WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) < 60
+          THEN 'FATAL:  password authentication failed'
+        ELSE 'no needle ' || props
+      END AS sev_line,
+      'exec [1] LOG:  duration: ' || CAST(round(value, 2) AS VARCHAR)
+        || ' ms  statement: SELECT 1' AS dur_line,
+      'database=db' || CAST(event_id % 4 AS VARCHAR)
+        || ',user=u' || CAST(user_id % 7 AS VARCHAR)
+        || ' host=10.0.0.' || CAST(event_id % 9 AS VARCHAR) AS kv_line,
+      event_type || ':   ' || props AS msg_line,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') || ' UTC [123] LOG:  checkpoint'
+        AS ts_line
+    FROM events
+"""
+
+def _words():
+    """words array, identically normalized in both engines (documents
+    text is single-space separated)"""
+    return F.split(F.col("text"), " ")
+
+STOPWORDS_EN = ["the", "of", "and", "to", "in", "is", "a"]
+STOPWORDS_DE = ["der", "die", "das", "und", "nicht"]
+STOPWORDS_ES = ["el", "la", "los", "y", "que"]
+
+
+def _sql_in(words: list[str]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_a1_errors_top(spark, sf_dir):
+    """A1 ErrorFrequencyAggregator: top-N message frequency (exact top-N;
+    the reference's merge-time eviction is lossy — SURVEY.md §2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.col("props").alias("message"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("message"))
+        .limit(20)
+    )
+
+
+def q_a2_errors_hist(spark, sf_dir):
+    """A2 ErrorHistogramAggregator: epoch-aligned hourly buckets
+    (tz-free formulation via date_trunc)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket_ts")
+    )
+
+
+def q_a3_slow_top(spark, sf_dir):
+    """A3 TopSlowQueries: distributed bounded-heap top-K
+    (TakeOrderedAndProject)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(10)
+        .select("event_id", "value")
+    )
+
+
+def q_a4_connections(spark, sf_dir):
+    """A4 ConnectionsAggregator: multi-output conditional aggregation in
+    one pass (count_if-style sums)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum((F.col("event_type") == "signup").cast("long")).alias("attempts"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "authenticated"
+        ),
+        F.sum(
+            ((F.col("event_type") == "error") & (F.col("value") > 150)).cast(
+                "long"
+            )
+        ).alias("failures"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+def q_a4b_conn_buckets(spark, sf_dir):
+    """A4 time-bucketed rates: 10-minute buckets (tz-free make_timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.make_timestamp(
+        F.year("ts"),
+        F.month("ts"),
+        F.dayofmonth("ts"),
+        F.hour("ts"),
+        (F.floor(F.minute("ts") / 10) * 10).cast("int"),
+        F.lit(0.0),
+    ).alias("bucket_ts")
+    return (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket_ts")
+    )
+
+
+def q_f1_mask(spark, sf_dir):
+    """F1 FilterContains: substring mask anywhere in the record."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("props").contains('"k": 7')).select(
+        "event_id", "props"
+    )
+
+
+def q_f3_time_range(spark, sf_dir):
+    """F3 inclusive begin/end time range."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-12 23:59:59").cast("timestamp"))
+    ).select("event_id", "ts", "event_type")
+
+
+def q_f4_slow_filter(spark, sf_dir):
+    """F4 FilterSlow: strictly-greater duration threshold."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("value") > 190.0).select("event_id", "value")
+
+
+def q_p1_severity_grok(spark, sf_dir):
+    """P1 severity classification, exact needle precedence (LOG: before
+    ERROR: — src/severity.rs:62-101), on constructed lines."""
+    ev = _events_with_lines(spark, sf_dir)
+    return (
+        ev.select(X.severity_plain(F.col("sev_line")).alias("severity"))
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("severity")
+    )
+
+
+def q_p3_severity_enrich(spark, sf_dir):
+    """P3 severity→ordinal/class via broadcast dim join (the reference's
+    inlined lookup at src/severity.rs:161-176 as a dimension table)."""
+    ev = _events_with_lines(spark, sf_dir)
+    sev = ev.select(X.severity_plain(F.col("sev_line")).alias("severity"))
+    dim = spark.createDataFrame(
+        [
+            (s, grammar.SEVERITY_NUM[s], grammar.SEVERITY_CLASS[s])
+            for s in sorted(grammar.SEVERITY_NUM)
+        ],
+        "severity string, ordinal int, class string",
+    )
+    return (
+        sev.join(F.broadcast(dim), "severity", "left")
+        .groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("ordinal").cast("long")).alias("ordinal_sum"),
+        )
+        .orderBy("class")
+    )
+
+
+def q_p5_message_grok(spark, sf_dir):
+    """P5 plain message extraction: first ': ', skip spaces, cut at
+    newline (src/format/plain.rs:1-23)."""
+    ev = _events_with_lines(spark, sf_dir)
+    return ev.select(
+        "event_id", X.message_plain(F.col("msg_line")).alias("message")
+    )
+
+
+def q_p7_timestamp_grok(spark, sf_dir):
+    """P7 timestamp parse: first three whitespace tokens, TZ token
+    consumed-and-discarded (src/util.rs:171-200)."""
+    ev = _events_with_lines(spark, sf_dir)
+    return ev.select(
+        "event_id", X.event_ts(F.col("ts_line")).alias("parsed_ts")
+    )
+
+
+def q_p8_kv_grok(spark, sf_dir):
+    """P8 key=value extraction (src/format/mod.rs:37-68) + group count."""
+    ev = _events_with_lines(spark, sf_dir)
+    line = F.col("kv_line")
+    return (
+        ev.select(
+            X.user(line).alias("user_"),
+            X.db(line).alias("db_"),
+            X.host(line).alias("host_"),
+        )
+        .groupBy("user_", "db_")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("user_", "db_")
+    )
+
+
+def q_p9_duration_grok(spark, sf_dir):
+    """P9 duration extraction (src/duration.rs:5-54) on constructed
+    lines; returns all rows (no selection boundary)."""
+    ev = _events_with_lines(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.round(X.duration_ms(F.col("dur_line")), 2).alias("duration_ms"),
+    )
+
+
+def q_r3_record_split(spark, sf_dir):
+    """R3 record assembly: the production mapInPandas splitter on
+    constructed two-record pages; the oracle states the expected records
+    directly (independent formulation)."""
+    from pgweasel_spark.operators.parse import split_pages
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("lang"),
+        F.concat(
+            F.lit("2024-01-01 00:00:00 UTC LOG:  first doc="),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\tcontinuation line\n2024-01-02 00:00:00 UTC ERROR:  second doc="),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = split_pages(pages)
+    return out.select(
+        F.regexp_extract("url", "doc://([0-9]+)", 1).cast("long").alias("doc_id"),
+        "record_no",
+        "raw",
+    )
+
+
+def q_h1_lineitem_agg(spark, sf_dir):
+    """TPC-H Q1-style scan + partial/final aggregation (the reference's
+    clone/update/merge protocol, natively)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_h2_join_topn(spark, sf_dir):
+    """Broadcast-join enrichment + top-N: orders ⋈ customer ⋈ nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .limit(10)
+    )
+
+
+def q_w1_latest_per_user(spark, sf_dir):
+    """Window dedup: latest event per user (row_number over ts desc)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+# --- training-data ops ------------------------------------------------------
+
+
+def q_d1_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groups, keeper = min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+def q_d2_dedup_norm(spark, sf_dir):
+    """Normalized dedup: lowercase, strip non-alnum, collapse spaces."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keeper"))
+        .orderBy("norm_hash")
+    )
+
+
+def q_d3_minhash_sigs(spark, sf_dir):
+    """MinHash signatures (8 perms via seeded md5) over distinct word
+    3-gram shingles — the LSH-banding input."""
+    d = _t(spark, sf_dir, "documents")
+    words = _words()
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> concat_ws(' ', split(text, ' ')[i],"
+            " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+        )
+    )
+    out = d.where(F.size(words) >= 3).select(
+        "doc_id", shingles.alias("shingles")
+    )
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(shingles, s -> md5(concat(s, '|{j}')))")
+        ).alias(f"sig{j}")
+        for j in range(8)
+    ]
+    return out.select("doc_id", *sig_cols).orderBy("doc_id")
+
+
+def q_d4_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup: candidate pairs blocked by (source,
+    n_chars band), exact Jaccard over distinct 3-word shingles."""
+    d = _t(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> concat_ws(' ', split(text, ' ')[i],"
+            " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+        )
+    )
+    base = d.where(F.size(_words()) >= 3).select(
+        "doc_id", "source", "n_chars", shingles.alias("sh")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("a.sh", "b.sh"))
+        / F.size(F.array_union("a.sh", "b.sh")),
+        4,
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        jac.alias("jaccard"),
+    ).orderBy("doc1", "doc2")
+
+
+def q_t1_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + mean token length."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_words())
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(_words(), lambda w: F.length(w).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / n_tokens,
+            3,
+        ).alias("avg_token_len"),
+    )
+
+
+def q_t2_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio + length-based keep flag."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_words())
+    n_stop = F.size(
+        F.filter(_words(), lambda w: w.isin(*STOPWORDS_EN))
+    )
+    ratio = F.round(n_stop / n_tokens, 4)
+    return d.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        ((n_tokens >= 20) & (ratio >= 0.01)).alias("keep"),
+    )
+
+
+def q_t3_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit argmax across 3 languages."""
+    d = _t(spark, sf_dir, "documents")
+    def _hits(ws):
+        return F.size(F.filter(_words(), lambda w: w.isin(*ws)))
+
+    hits = {
+        "en": _hits(STOPWORDS_EN),
+        "de": _hits(STOPWORDS_DE),
+        "es": _hits(STOPWORDS_ES),
+    }
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["es"]) & (hits["de"] > 0), F.lit("de"))
+        .when(hits["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        d.select(pred.alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("pred_lang")
+    )
+
+
+def q_t4_fingerprint(spark, sf_dir):
+    """Document fingerprint: hash of the first-10-token prefix."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(_words(), 1, 10))).alias("fingerprint"),
+    )
+
+
+def q_e1_cosine_all(spark, sf_dir):
+    """Embedding cosine similarity vs a query vector (vec_id=0),
+    brute-force over all rows (the ANN baseline; no selection boundary
+    so FP rounding cannot change the row set)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    joined = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda v: (v * v).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sim = dot / (norm(F.col("embedding")) * norm(F.col("q_emb")))
+    return joined.select(
+        "vec_id", F.round(sim, 3).alias("cosine_sim")
+    ).orderBy("vec_id")
+
+
+def q_b1_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + typed metadata
+    (byte length, content digest) — the decode step itself is stubbed
+    (operators/multimodal.py), the schema/plumbing is real."""
+    d = _t(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("long").alias("n_bytes"),
+        F.sha2(bin_col, 256).alias("digest"),
+    )
+
+
+# --- rows-only (non-SQL-expressible; driver records weaker check) -----------
+
+
+def q_d5_simhash(spark, sf_dir):
+    """SimHash (64-bit) per document via per-word xxhash64 bit voting —
+    bit-level loop is not reasonably SQL-expressible, rows-only check."""
+    from pgweasel_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+def q_e2_lsh_ann(spark, sf_dir):
+    """Random-hyperplane LSH ANN: deterministic sign-bucket + within-
+    bucket brute force (the scale path for e1)."""
+    from pgweasel_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(e, query_vec_id=0, k=10, n_planes=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "a1_errors_top": q_a1_errors_top,
+        "a2_errors_hist": q_a2_errors_hist,
+        "a3_slow_top": q_a3_slow_top,
+        "a4_connections": q_a4_connections,
+        "a4b_conn_buckets": q_a4b_conn_buckets,
+        "f1_mask": q_f1_mask,
+        "f3_time_range": q_f3_time_range,
+        "f4_slow_filter": q_f4_slow_filter,
+        "p1_severity_grok": q_p1_severity_grok,
+        "p3_severity_enrich": q_p3_severity_enrich,
+        "p5_message_grok": q_p5_message_grok,
+        "p7_timestamp_grok": q_p7_timestamp_grok,
+        "p8_kv_grok": q_p8_kv_grok,
+        "p9_duration_grok": q_p9_duration_grok,
+        "r3_record_split": q_r3_record_split,
+        "h1_lineitem_agg": q_h1_lineitem_agg,
+        "h2_join_topn": q_h2_join_topn,
+        "w1_latest_per_user": q_w1_latest_per_user,
+        "d1_dedup_exact": q_d1_dedup_exact,
+        "d2_dedup_norm": q_d2_dedup_norm,
+        "d3_minhash_sigs": q_d3_minhash_sigs,
+        "d4_ngram_jaccard": q_d4_ngram_jaccard,
+        "d5_simhash": q_d5_simhash,
+        "t1_token_stats": q_t1_token_stats,
+        "t2_quality": q_t2_quality,
+        "t3_langid": q_t3_langid,
+        "t4_fingerprint": q_t4_fingerprint,
+        "e1_cosine_all": q_e1_cosine_all,
+        "e2_lsh_ann": q_e2_lsh_ann,
+        "b1_binary_meta": q_b1_binary_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             string_split(text, ' ') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source, n_chars,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS sh
+      FROM base
+      WHERE len(w) >= 3
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    severity_case = "CASE "
+    for name in grammar.SEVERITY_ORDER:
+        severity_case += (
+            f"WHEN contains(sev_line, '{name}:') THEN '{name.lower()}' "
+        )
+    severity_case += "ELSE 'log' END"
+
+    ordinal_case = "CASE "
+    for sev, n in grammar.SEVERITY_NUM.items():
+        ordinal_case += f"WHEN severity = '{sev}' THEN {n} "
+    ordinal_case += "END"
+    class_case = "CASE "
+    for sev, c in grammar.SEVERITY_CLASS.items():
+        class_case += f"WHEN severity = '{sev}' THEN '{c}' "
+    class_case += "END"
+
+    return {
+        "a1_errors_top": """
+            SELECT props AS message, COUNT(*) AS cnt
+            FROM events WHERE event_type = 'error'
+            GROUP BY props ORDER BY cnt DESC, message ASC LIMIT 20
+        """,
+        "a2_errors_hist": """
+            SELECT date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS cnt
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "a3_slow_top": """
+            SELECT event_id, value FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 10
+        """,
+        "a4_connections": """
+            SELECT
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS attempts,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS authenticated,
+              CAST(SUM(CASE WHEN event_type = 'error' AND value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS failures,
+              COUNT(*) AS total
+            FROM events
+        """,
+        "a4b_conn_buckets": """
+            SELECT make_timestamp(year(ts)::BIGINT, month(ts)::BIGINT, day(ts)::BIGINT,
+                                  hour(ts)::BIGINT, (minute(ts) // 10 * 10)::BIGINT, 0.0) AS bucket_ts,
+                   COUNT(*) AS cnt
+            FROM events WHERE event_type = 'signup'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "f1_mask": """
+            SELECT event_id, props FROM events
+            WHERE contains(props, '"k": 7')
+        """,
+        "f3_time_range": """
+            SELECT event_id, ts, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-12 23:59:59'
+        """,
+        "f4_slow_filter": """
+            SELECT event_id, value FROM events WHERE value > 190.0
+        """,
+        "p1_severity_grok": f"""
+            WITH lines AS ({_LINES_SQL})
+            SELECT {severity_case} AS severity, COUNT(*) AS cnt
+            FROM lines GROUP BY 1 ORDER BY 1
+        """,
+        "p3_severity_enrich": f"""
+            WITH lines AS ({_LINES_SQL}),
+            sev AS (SELECT {severity_case} AS severity FROM lines)
+            SELECT {class_case} AS class, COUNT(*) AS cnt,
+                   CAST(SUM({ordinal_case}) AS BIGINT) AS ordinal_sum
+            FROM sev GROUP BY 1 ORDER BY 1
+        """,
+        "p5_message_grok": r"""
+            WITH lines AS ({lines})
+            SELECT event_id,
+                   CASE WHEN strpos(msg_line, ': ') > 0
+                        THEN regexp_extract(msg_line, '(?s)^.*?: +([^\n]*)', 1)
+                   END AS message
+            FROM lines
+        """.replace("{lines}", _LINES_SQL),
+        "p7_timestamp_grok": """
+            WITH lines AS ({lines})
+            SELECT event_id,
+                   strptime(regexp_extract(ts_line, '^\\s*(\\S+\\s+\\S+)\\s+\\S', 1),
+                            '%Y-%m-%d %H:%M:%S') AS parsed_ts
+            FROM lines
+        """.replace("{lines}", _LINES_SQL),
+        "p8_kv_grok": """
+            WITH lines AS ({lines}),
+            kv AS (
+              SELECT
+                nullif(regexp_extract(kv_line, 'user=((?s:.)[^ ,"]*)', 1), '') AS user_,
+                nullif(regexp_extract(kv_line, 'database=((?s:.)[^ ,"]*)', 1), '') AS db_
+              FROM lines
+            )
+            SELECT user_, db_, COUNT(*) AS cnt
+            FROM kv GROUP BY 1, 2 ORDER BY 1, 2
+        """.replace("{lines}", _LINES_SQL),
+        "p9_duration_grok": """
+            WITH lines AS ({lines})
+            SELECT event_id,
+                   round(CAST(regexp_extract(dur_line,
+                         'duration: *([0-9.]+) *([A-Za-z]*)', 1) AS DOUBLE), 2)
+                     AS duration_ms
+            FROM lines
+        """.replace("{lines}", _LINES_SQL),
+        "r3_record_split": """
+            WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+            SELECT doc_id, 0 AS record_no,
+                   '2024-01-01 00:00:00 UTC LOG:  first doc=' || doc_id ||
+                   chr(10) || chr(9) || 'continuation line' || chr(10) AS raw
+            FROM d
+            UNION ALL
+            SELECT doc_id, 1 AS record_no,
+                   '2024-01-02 00:00:00 UTC ERROR:  second doc=' || doc_id AS raw
+            FROM d
+        """,
+        "h1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   round(SUM(l_extendedprice), 2) AS sum_base_price,
+                   round(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "h2_join_topn": """
+            SELECT n_name,
+                   round(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY revenue DESC, n_name ASC LIMIT 10
+        """,
+        "w1_latest_per_user": """
+            SELECT user_id, event_id, ts, event_type FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "d1_dedup_exact": """
+            SELECT md5(text) AS content_hash, COUNT(*) AS cnt,
+                   MIN(doc_id) AS keeper
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "d2_dedup_norm": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+                   COUNT(*) AS cnt, MIN(doc_id) AS keeper
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "d3_minhash_sigs": _SHINGLES_CTE
+        + """
+            SELECT doc_id,
+        """
+        + ",\n".join(
+            f"list_min([md5(s || '|{j}') for s in sh]) AS sig{j}"
+            for j in range(8)
+        )
+        + """
+            FROM sh ORDER BY doc_id
+        """,
+        "d4_ngram_jaccard": _SHINGLES_CTE
+        + """
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+                         4) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 10
+            ORDER BY 1, 2
+        """,
+        "t1_token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   round(list_sum([CAST(length(x) AS DOUBLE)
+                                   for x in string_split(text, ' ')])
+                         / len(string_split(text, ' ')), 3) AS avg_token_len
+            FROM documents
+        """,
+        "t2_quality": f"""
+            WITH q AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            )
+            SELECT doc_id,
+                   round(len(list_filter(w, x -> x IN {_sql_in(STOPWORDS_EN)}))
+                         / CAST(len(w) AS DOUBLE), 4) AS stopword_ratio,
+                   (len(w) >= 20 AND
+                    round(len(list_filter(w, x -> x IN {_sql_in(STOPWORDS_EN)}))
+                          / CAST(len(w) AS DOUBLE), 4) >= 0.01) AS keep
+            FROM q
+        """,
+        "t3_langid": f"""
+            WITH q AS (
+              SELECT string_split(text, ' ') AS w FROM documents
+            ), h AS (
+              SELECT
+                len(list_filter(w, x -> x IN {_sql_in(STOPWORDS_EN)})) AS en,
+                len(list_filter(w, x -> x IN {_sql_in(STOPWORDS_DE)})) AS de,
+                len(list_filter(w, x -> x IN {_sql_in(STOPWORDS_ES)})) AS es
+              FROM q
+            )
+            SELECT CASE
+                     WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+                     WHEN de >= es AND de > 0 THEN 'de'
+                     WHEN es > 0 THEN 'es'
+                     ELSE 'unknown'
+                   END AS pred_lang, COUNT(*) AS cnt
+            FROM h GROUP BY 1 ORDER BY 1
+        """,
+        "t4_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(string_split(text, ' ')[1:10], ' '))
+                     AS fingerprint
+            FROM documents
+        """,
+        "e1_cosine_all": """
+            WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding, q.q_emb)
+                         / (sqrt(list_dot_product(e.embedding, e.embedding))
+                            * sqrt(list_dot_product(q.q_emb, q.q_emb))), 3)
+                     AS cosine_sim
+            FROM embeddings e, q WHERE e.vec_id != 0
+            ORDER BY e.vec_id
+        """,
+        "b1_binary_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS digest
+            FROM documents
+        """,
+        # d5_simhash, e2_lsh_ann: intentionally omitted (bit-twiddling /
+        # iterative bucketed ANN — rows-only check)
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the grok spine (P1 severity precedence + P9 duration +
+    P3 ordinal gating) on constructed log lines over sf0.001 events —
+    parse → enrich → aggregate in one declarative plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _events_with_lines(spark, sf_dir)
+    sev = X.severity_plain(F.col("sev_line"))
+    dur = X.duration_ms(F.col("dur_line"))
+    return (
+        ev.select(
+            sev.alias("severity"),
+            X.severity_num(sev).alias("severity_num"),
+            dur.alias("duration_ms"),
+        )
+        .groupBy("severity", "severity_num")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum((F.col("duration_ms") > 150.0).cast("long")).alias("n_slow"),
+        )
+        .orderBy("severity")
+    )

@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Measures two things and prints ONE JSON line:
+
+1. **Headline** — parsed-events/sec end-to-end through the webtext
+   pipeline (parse → enrich → route → write sinks → aggregate stats) on a
+   deterministic synthetic webtext table sized by the scale factor
+   (generated once and cached under data/). This is the BASELINE.md
+   target metric.
+2. **queries** — per-query wall seconds for every __spark_entry__
+   operator query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_SKIP_QUERIES=1 to benchmark only the pipeline (used by the scaling
+harness, tools/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+#: webtext pages per unit scale factor (sf0.1 → 12,000 pages ≈ 250k events)
+PAGES_PER_SF = 120_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_webtext(sf: float) -> str:
+    from pgweasel_spark.gen import write_webtext
+
+    n_pages = max(200, int(PAGES_PER_SF * sf))
+    out = os.path.join(REPO, "data", f"webtext_bench_{n_pages}")
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        write_webtext(out, n_pages=n_pages, seed=42)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def bench_pipeline(spark, webtext_path: str, out_root: str) -> dict:
+    """Time the full spine and return events/sec."""
+    from pyspark.sql import functions as F
+
+    from pgweasel_spark.operators import route
+    from pgweasel_spark.operators.enrich import enrich
+    from pgweasel_spark.operators.parse import parse_events
+    from pgweasel_spark.plans import pipeline as P
+
+    t0 = time.time()
+    pages = spark.read.parquet(webtext_path)
+    events = enrich(parse_events(pages))
+    flagged = route.sink_flags(events)
+    routed = route.with_partition_cols(route.explode_sinks(flagged)).select(
+        *P.ROUTED_COLS
+    )
+    (
+        routed.write.mode("overwrite")
+        .partitionBy("sink", "warc_day")
+        .parquet(os.path.join(out_root, "routed"))
+    )
+    P.write_stats(events, out_root)
+    elapsed = time.time() - t0
+    # parsed events = distinct records that entered routing (count from the
+    # written stats-family sink, which admits every Log+ record, plus a
+    # distinct count for exactness)
+    written = spark.read.parquet(os.path.join(out_root, "routed"))
+    n_parsed = (
+        written.select("url", "record_no").distinct().count()
+    )
+    n_routed = written.count()
+    return {
+        "elapsed_s": round(elapsed, 3),
+        "parsed_events": n_parsed,
+        "routed_rows": n_routed,
+        "events_per_sec": round(n_parsed / elapsed, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_from_dir(sf_dir)
+    skip_queries = os.environ.get("BENCH_SKIP_QUERIES") == "1"
+
+    from pgweasel_spark.session import get_spark
+
+    spark = get_spark(
+        "pgweasel-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=str(max(8, int(cpus))),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    webtext = ensure_webtext(sf)
+    out_root = os.path.join(REPO, "data", f"bench_out_{cpus}")
+    if os.path.exists(out_root):
+        shutil.rmtree(out_root)
+    pipe = bench_pipeline(spark, webtext, out_root)
+
+    query_times: dict[str, float] = {}
+    if not skip_queries:
+        import __spark_entry__ as entrymod
+
+        for name, fn in entrymod.queries().items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            query_times[name] = round(time.time() - t0, 3)
+            _ = n
+
+    result = {
+        "metric": "parsed-events/sec end-to-end (parse→enrich→route→aggregate)",
+        "value": pipe["events_per_sec"],
+        "unit": "events/sec",
+        "queries": query_times,
+        "sf": sf,
+        "cpus": int(cpus),
+        "pipeline": pipe,
+    }
+    print(json.dumps(result, ensure_ascii=False))
+
+
+if __name__ == "__main__":
+    main()

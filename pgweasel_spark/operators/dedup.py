@@ -1,0 +1,213 @@
+"""Deduplication operators for web-scale text corpora.
+
+All hot paths are JVM higher-order functions (transform/aggregate/filter)
+over the tokenized text — no Python per row. Candidate generation is
+blocked (LSH bands / content-hash buckets) so the pairwise stage never
+materializes the O(n²) cross product; at 10^12 docs the only shuffles are
+the band-key groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct overlapping word n-grams (JVM transform over sequence).
+    Takes a column *name* (used inside SQL lambda expressions)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
+            " i -> concat_ws(' ', "
+            + ", ".join(f"split({text_col}, ' ')[i+{j}]" for j in range(n))
+            + "))"
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: content-hash groups, keep min key. One shuffle on the
+    64-hex hash (uniform — no skew)."""
+    return (
+        df.groupBy(F.md5(text_col).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(key_col).alias("keeper"),
+            F.collect_set(key_col).alias("members"),
+        )
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_perm: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: per permutation j, min over shingles of a
+    seeded hash. Seeded md5 keeps the scheme engine-portable (same oracle
+    in DuckDB); swap for xxhash64 when raw speed matters more than
+    cross-engine parity."""
+    sh = F.expr(
+        f"array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {shingle_n}),"
+        " i -> concat_ws(' ', "
+        + ", ".join(f"split({text_col}, ' ')[i+{j}]" for j in range(shingle_n))
+        + ")))"
+    )
+    base = df.where(F.size(words(F.col(text_col))) >= shingle_n).select(
+        key_col, sh.alias("_sh")
+    )
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(_sh, s -> md5(concat(s, '|{j}')))")
+        ).alias(f"sig{j}")
+        for j in range(n_perm)
+    ]
+    return base.select(key_col, *sig_cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    key_col: str = "doc_id",
+    n_perm: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature (rows = band_size) and self-join on band keys:
+    docs sharing any full band become candidate pairs. The join is on the
+    band hash — co-located, no cross product."""
+    n_bands = n_perm // band_size
+    banded = sigs.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"sig{b * band_size + i}")
+                                    for i in range(band_size)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("doc1"),
+            F.col(f"b.{key_col}").alias("doc2"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_perm: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
+    pairs → exact Jaccard verification on candidates only."""
+    sigs = minhash_signatures(df, text_col, key_col, n_perm)
+    cands = lsh_candidate_pairs(sigs, key_col, n_perm, band_size)
+    sh = df.select(
+        F.col(key_col),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(split({text_col}, ' ')) - 3),"
+                f" i -> concat_ws(' ', split({text_col}, ' ')[i],"
+                f" split({text_col}, ' ')[i+1], split({text_col}, ' ')[i+2]))"
+            )
+        ).alias("_sh"),
+    )
+    j = (
+        cands.join(sh.withColumnRenamed(key_col, "doc1").withColumnRenamed("_sh", "sh1"), "doc1")
+        .join(sh.withColumnRenamed(key_col, "doc2").withColumnRenamed("_sh", "sh2"), "doc2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2")),
+        )
+    )
+    return j.where(F.col("jaccard") >= jaccard_threshold).select(
+        "doc1", "doc2", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash: per-word xxhash64, per-bit ±1 voting, sign →
+    signature bit. Entirely JVM higher-order functions — zero shuffles,
+    zero Python. Takes a column *name*."""
+    col = text_col
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, 63), j ->
+            if(aggregate(
+                 transform(split({col}, ' '), w -> xxhash64(w)),
+                 0L,
+                 (acc, h) -> acc + if((h >> j) & 1 = 1, 1, -1)
+               ) > 0,
+               shiftleft(1L, j), 0L)),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidates: block on the top-16-bit prefix (docs
+    within small Hamming distance usually share a prefix band), verify
+    Hamming distance via bit_count(xor)."""
+    h = df.select(key_col, simhash64(text_col).alias("sh"))
+    banded = h.withColumn("band", F.expr("shiftright(sh, 48)"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .withColumn("hamming", F.expr("bit_count(a.sh ^ b.sh)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{key_col}").alias("doc1"),
+            F.col(f"b.{key_col}").alias("doc2"),
+            "hamming",
+        )
+    )

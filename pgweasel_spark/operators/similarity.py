@@ -1,0 +1,114 @@
+"""Embedding similarity search: brute-force cosine baseline + LSH-bucketed
+approximate path.
+
+The dot products run as JVM higher-order functions (zip_with/aggregate) in
+double precision — no Python, no UDF. The LSH path buckets vectors by the
+sign pattern against deterministic ±1 hyperplanes, so at scale the
+candidate set per query is one bucket (a groupBy-sized partition) instead
+of the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda v: (v * v).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine vs one stored vector. The query row is
+    broadcast; the scan side never shuffles (TakeOrderedAndProject)."""
+    q = df.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q")
+    )
+    scored = (
+        df.where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def _plane_sign(j: int, i: int) -> int:
+    """Deterministic ±1 hyperplane entries (seeded linear-congruential
+    pattern; any fixed pseudo-random sign matrix works for SimHash-style
+    rotation-free LSH)."""
+    return 1 if ((j * 1000003 + i * 7919 + 12345) % 97) % 2 == 0 else -1
+
+
+def lsh_bucket(vec_col: str, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-pattern bucket id: bit j = (v · plane_j) > 0."""
+    bits = []
+    for j in range(n_planes):
+        signs = ", ".join(
+            str(_plane_sign(j, i)) for i in range(dim)
+        )
+        bits.append(
+            f"if(aggregate(zip_with({vec_col}, array({signs}),"
+            " (v, s) -> cast(v as double) * s), 0D, (acc, x) -> acc + x) > 0,"
+            f" shiftleft(1, {j}), 0)"
+        )
+    return F.expr(" + ".join(bits)).alias("bucket")
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict the brute-force scan to the query's
+    LSH bucket. At 10^12 rows the bucketed table is the precomputed index
+    (partitioned by bucket → partition-pruned scan per query)."""
+    dim = len(
+        df.where(F.col(id_col) == query_vec_id).select(vec_col).first()[0]
+    )
+    bucketed = df.withColumn(
+        "bucket", lsh_bucket(vec_col, n_planes=n_planes, dim=dim)
+    )
+    q = bucketed.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q"), F.col("bucket").alias("_qb")
+    )
+    cands = bucketed.crossJoin(F.broadcast(q)).where(
+        (F.col("bucket") == F.col("_qb")) & (F.col(id_col) != query_vec_id)
+    )
+    return (
+        cands.select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,164 @@
+"""Training-data operator tests: dedup (exact/minhash/simhash), similarity
+(brute force + LSH), text stats, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pgweasel_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # near-dup pair: one word differs
+        (0, "the quick brown fox jumps over the lazy dog again and again", "a"),
+        (1, "the quick brown fox jumps over the lazy cat again and again", "a"),
+        # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog again and again", "a"),
+        # unrelated
+        (3, "completely different content about spark query planning here", "b"),
+        (4, "der hund und die katze und das haus und nicht mehr", "b"),
+        (5, "el perro y la casa y los gatos que hablan", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    groups = {r["content_hash"]: r for r in out}
+    dup = [r for r in out if r["cnt"] == 2]
+    assert len(dup) == 1
+    assert dup[0]["keeper"] == 0
+    assert sorted(dup[0]["members"]) == [0, 2]
+    assert len(groups) == 5
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_dedup(
+        docs, n_perm=8, band_size=2, jaccard_threshold=0.5
+    ).collect()
+    found = {(r["doc1"], r["doc2"]) for r in pairs}
+    assert (0, 2) in found  # exact dup always collides
+    # near-dup 0/1 shares most shingles; with 4 bands of 2 it should be
+    # found at threshold 0.5
+    assert (0, 1) in found or (1, 2) in found
+    # unrelated docs must not pair
+    assert all(d1 != 3 and d2 != 3 for d1, d2 in found)
+
+
+def test_minhash_signatures_deterministic(docs, spark):
+    s1 = {
+        r["doc_id"]: tuple(r[f"sig{j}"] for j in range(8))
+        for r in dedup.minhash_signatures(docs).collect()
+    }
+    s2 = {
+        r["doc_id"]: tuple(r[f"sig{j}"] for j in range(8))
+        for r in dedup.minhash_signatures(docs).collect()
+    }
+    assert s1 == s2
+    assert s1[0] == s1[2]  # identical text → identical signature
+
+
+def test_simhash(docs):
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", dedup.simhash64("text").alias("sh")
+        ).collect()
+    }
+    assert out[0] == out[2]  # identical text
+    # near-dup should be closer in hamming distance than unrelated
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out[0], out[1]) < ham(out[0], out[3])
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_dups(docs, max_hamming=16).collect()
+    found = {(r["doc1"], r["doc2"]): r["hamming"] for r in pairs}
+    assert found.get((0, 2)) == 0
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest
+        (2, [0.0, 1.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(e, query_vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine_sim"] == pytest.approx(0.9939, abs=1e-3)
+    assert out[1]["cosine_sim"] == pytest.approx(0.0, abs=1e-9)
+    assert out[2]["cosine_sim"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_lsh_ann_agrees_with_brute_force_on_top1(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    # plant a near-duplicate of vec 0
+    base = rows[0][1]
+    rows.append((200, [v + 0.01 for v in base]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = similarity.brute_force_topk(e, 0, k=1).collect()[0]
+    assert bf["vec_id"] == 200
+    ann = similarity.lsh_ann_topk(e, 0, k=5, n_planes=6).collect()
+    # the planted near-dup must share the query's bucket (tiny angle)
+    assert ann and ann[0]["vec_id"] == 200
+
+
+def test_textstats(docs):
+    out = textstats.quality_features(docs).collect()
+    r0 = [r for r in out if r["doc_id"] == 0][0]
+    assert r0["q_n_tokens"] == 12
+    assert r0["q_stopword_ratio"] > 0
+    langs = {
+        r["doc_id"]: r["lid"]
+        for r in docs.select(
+            "doc_id", textstats.lang_id(F.col("text")).alias("lid")
+        ).collect()
+    }
+    assert langs[0] == "en"
+    assert langs[4] == "de"
+    assert langs[5] == "es"
+    tokens = docs.select(
+        textstats.token_count(F.col("text")).alias("n"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("nb"),
+    ).collect()
+    assert all(r["nb"] >= r["n"] for r in tokens)
+
+
+def test_multimodal_metadata_and_decode(spark):
+    rows = [
+        Row(media_id=0, payload=b"\xff\xd8\xff\xe0fakejpeg"),
+        Row(media_id=1, payload=b"\x89PNG\r\nfakepng"),
+        Row(media_id=2, payload=b"RIFFfakewav"),
+        Row(media_id=3, payload=b"plainbytes"),
+    ]
+    df = spark.createDataFrame(rows)
+    meta = {
+        r["media_id"]: r
+        for r in multimodal.media_metadata(df, "payload", "media_id").collect()
+    }
+    assert meta[0]["kind"] == "image"
+    assert meta[2]["kind"] == "audio"
+    assert meta[3]["kind"] == "unknown"
+    assert meta[0]["n_bytes"] == 12
+
+    feats = multimodal.decode_features(df, "payload", "media_id").collect()
+    assert len(feats) == 4
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic fake decode
+    feats2 = multimodal.decode_features(df, "payload", "media_id").collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in feats2
+    }
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"x")
