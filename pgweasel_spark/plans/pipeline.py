@@ -82,19 +82,27 @@ def parsed_events(spark: SparkSession, input_path: str) -> DataFrame:
 
 def _routed(events: DataFrame, slow_threshold_ms: float) -> DataFrame:
     flagged = route.sink_flags(events, slow_threshold_ms=slow_threshold_ms)
-    return route.with_partition_cols(route.explode_sinks(flagged)).select(
+    out = route.with_partition_cols(route.explode_sinks(flagged)).select(
         *ROUTED_COLS
     )
+    # AQE rebalance on the partition keys: one-ish writer task per output
+    # partition (no tiny-file spray), with skewed partitions (the stats
+    # sink) split automatically
+    return out.hint("rebalance", "sink", "warc_day", "host_bucket")
 
 
-def write_stats(events: DataFrame, out_root: str) -> None:
-    """Aggregate companion tables (SURVEY.md §2.5) for the full input."""
+def write_stats(routed: DataFrame, out_root: str) -> None:
+    """Aggregate companion tables (SURVEY.md §2.5), computed from the
+    already-written routed table — the expensive parse runs exactly once
+    per input; the stats pass reads back only the pruned columns it needs
+    from the (much smaller, columnar) sinks."""
     stats = os.path.join(out_root, "stats")
-    err = events.where(F.col("severity_num") >= route.MIN_SEV_ERRORS)
-    log_plus = events.where(
-        (F.col("severity_num") >= route.MIN_SEV_LOG)
-        & F.col("event_ts").isNotNull()
-    )
+    # six aggregate jobs share the routed scan — cache it for the pass
+    # (column set is the routed sink schema; at cluster scale this is a
+    # MEMORY_AND_DISK cache of the stats-family sink only)
+    routed = routed.where(F.col("sink").isin("errors", "stats")).cache()
+    err = routed.where(F.col("sink") == "errors")
+    log_plus = routed.where(F.col("sink") == "stats")
     agg.errors_top(err, max_n=20).write.mode("overwrite").parquet(
         f"{stats}/errors_top"
     )
@@ -109,6 +117,7 @@ def write_stats(events: DataFrame, out_root: str) -> None:
     agg.connections_buckets(log_plus).write.mode("overwrite").parquet(
         f"{stats}/connections_buckets"
     )
+    routed.unpersist()
 
 
 def run(
@@ -191,7 +200,7 @@ def run(
                 sink_counts[s] = sink_counts.get(s, 0) + c
                 total += c
         if with_stats:
-            write_stats(events, out_root)
+            write_stats(written, out_root)
 
     return PipelineResult(
         days_processed=pending,

@@ -53,6 +53,13 @@ def get_spark(
                 "SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
             ),
         )
+        # webtext rows are heavy (multi-KB text per page): cap input-split
+        # bytes well below the 128m default so page scans parallelize even
+        # on modest file sizes (at 100 TB files are >128m and this is moot)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_FILES_MAX_PARTITION_BYTES", "8m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,72 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is strictly batch (scan-once, SURVEY.md §2.7); this module is
+the incremental path for a continuously-crawled webtext table: new parquet
+files under the input dir are discovered by the file-stream source, run
+through the identical parse → extract → route plan, and appended to the
+routed sink with exactly-once file-sink semantics. ``availableNow`` gives
+catch-up-then-stop batch-incremental runs (the streaming analog of the
+manifest resume); a watermark on warc_ts bounds state for the windowed
+error-rate aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgweasel_spark.gen import ARROW_SCHEMA  # noqa: F401  (schema parity)
+from pgweasel_spark.operators import route
+from pgweasel_spark.operators.parse import parse_events
+
+WEBTEXT_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_webtext_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(WEBTEXT_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def routed_stream(pages: DataFrame) -> DataFrame:
+    """Same single-pass route/explode plan as the batch pipeline — the
+    parse and route operators are streaming-safe (stateless map side)."""
+    events = route.sink_flags(parse_events(pages))
+    return route.with_partition_cols(route.explode_sinks(events))
+
+
+def error_rate_stream(pages: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Windowed error-rate aggregation with late-data handling: tumbling
+    event-time windows on the parsed log timestamp, 1-hour watermark."""
+    events = parse_events(pages)
+    return (
+        events.where(F.col("event_ts").isNotNull())
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", window).alias("w"), "severity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("w.start", "w.end", "severity", "cnt")
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+) -> None:
+    """Catch-up-then-stop incremental run: processes all files not yet in
+    the checkpoint, appends to the routed sink, exits."""
+    pages = read_webtext_stream(spark, input_dir)
+    routed = routed_stream(pages)
+    q = (
+        routed.writeStream.format("parquet")
+        .option("path", f"{out_root}/routed_stream")
+        .option("checkpointLocation", f"{out_root}/_checkpoint")
+        .partitionBy("sink", "warc_day")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates — the 100 TB story, asserted.
+
+These tests pin the plan shapes that matter at scale: column pruning (the
+multi-KB ``html``/``text`` columns must not be read by stages that don't
+need them), broadcast joins for dims, TakeOrderedAndProject for top-K,
+partial aggregation for groupBys, and partition pruning on the routed
+sinks.
+"""
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from pgweasel_spark.operators import aggregates as agg
+from pgweasel_spark.operators import route
+from pgweasel_spark.operators.enrich import enrich
+from pgweasel_spark.operators.parse import parse_events, split_pages
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_html_column_pruned(spark, webtext_dir):
+    """The split stage must never scan the html payload column."""
+    plan = _plan(split_pages(spark.read.parquet(webtext_dir)))
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    assert "html" not in m.group(1)
+    assert "text" in m.group(1)
+
+
+def test_events_count_prunes_text(spark, webtext_dir):
+    """A downstream agg that only needs counts should still read text
+    (needed by the splitter) but nothing else heavy; sanity: scan schema
+    is the 4 slim columns."""
+    df = parse_events(spark.read.parquet(webtext_dir)).groupBy(
+        "severity"
+    ).count()
+    m = re.search(r"ReadSchema: (.*)", _plan(df))
+    assert "html" not in m.group(1)
+
+
+def test_enrich_uses_broadcast_joins(spark, webtext_dir):
+    plan = _plan(enrich(parse_events(spark.read.parquet(webtext_dir))))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_slow_top_is_take_ordered(spark, webtext_dir):
+    ev = parse_events(spark.read.parquet(webtext_dir))
+    plan = _plan(agg.slow_top(ev))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_errors_top_has_partial_agg(spark, webtext_dir):
+    ev = parse_events(spark.read.parquet(webtext_dir))
+    plan = _plan(agg.errors_top(ev))
+    # partial (map-side) + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_routed_sink_partition_pruning(spark, webtext_dir, tmp_path):
+    """Filtering a routed sink by sink+day must prune partitions at scan."""
+    from pgweasel_spark.plans import pipeline
+
+    out = str(tmp_path / "out")
+    pipeline.run(spark, webtext_dir, out, with_stats=False)
+    df = spark.read.parquet(os.path.join(out, "routed")).where(
+        (F.col("sink") == "errors") & (F.col("warc_day") == "2025-05-03")
+    )
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m, plan
+    assert "sink" in m.group(1) and "warc_day" in m.group(1)
+
+
+def test_severity_filter_pushed_to_scan(spark, webtext_dir, tmp_path):
+    """Column predicates on the routed table reach the parquet reader."""
+    from pgweasel_spark.plans import pipeline
+
+    out = str(tmp_path / "out2")
+    pipeline.run(spark, webtext_dir, out, with_stats=False)
+    df = spark.read.parquet(os.path.join(out, "routed")).where(
+        F.col("severity_num") >= 8
+    )
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(severity_num", plan), plan
