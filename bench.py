@@ -87,6 +87,7 @@ def bench_pipeline(spark, webtext_path: str, out_root: str) -> dict:
         .partitionBy("sink", "warc_day")
         .parquet(os.path.join(out_root, "routed"))
     )
+    t_write = time.time()
     written = spark.read.parquet(os.path.join(out_root, "routed"))
     P.write_stats(written, out_root)
     elapsed = time.time() - t0
@@ -95,6 +96,8 @@ def bench_pipeline(spark, webtext_path: str, out_root: str) -> dict:
     n_routed = written.count()
     return {
         "elapsed_s": round(elapsed, 3),
+        "parse_route_write_s": round(t_write - t0, 3),
+        "stats_s": round(elapsed - (t_write - t0), 3),
         "parsed_events": n_parsed,
         "routed_rows": n_routed,
         "events_per_sec": round(n_parsed / elapsed, 1),

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,22 +102,31 @@ def write_stats(routed: DataFrame, out_root: str) -> None:
     # (column set is the routed sink schema; at cluster scale this is a
     # MEMORY_AND_DISK cache of the stats-family sink only)
     routed = routed.where(F.col("sink").isin("errors", "stats")).cache()
+    routed.count()  # materialize once; concurrent jobs then hit the cache
     err = routed.where(F.col("sink") == "errors")
     log_plus = routed.where(F.col("sink") == "stats")
-    agg.errors_top(err, max_n=20).write.mode("overwrite").parquet(
-        f"{stats}/errors_top"
-    )
-    agg.errors_hist(err).write.mode("overwrite").parquet(f"{stats}/errors_hist")
-    agg.slow_top(log_plus).write.mode("overwrite").parquet(f"{stats}/slow_top")
-    agg.connections_totals(log_plus).write.mode("overwrite").parquet(
-        f"{stats}/connections_totals"
-    )
-    agg.connections_by_dim(log_plus).write.mode("overwrite").parquet(
-        f"{stats}/connections_by_dim"
-    )
-    agg.connections_buckets(log_plus).write.mode("overwrite").parquet(
-        f"{stats}/connections_buckets"
-    )
+    jobs = {
+        "errors_top": agg.errors_top(err, max_n=20),
+        "errors_hist": agg.errors_hist(err),
+        "slow_top": agg.slow_top(log_plus),
+        "connections_totals": agg.connections_totals(log_plus),
+        "connections_by_dim": agg.connections_by_dim(log_plus),
+        "connections_buckets": agg.connections_buckets(log_plus),
+    }
+    # submit the six small jobs concurrently — they are independent and
+    # individually under-parallel, so serial submission would leave cores
+    # idle (Spark's fair scheduler interleaves their tasks)
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = {
+            name: pool.submit(
+                lambda d=df, p=f"{stats}/{name}": d.write.mode(
+                    "overwrite"
+                ).parquet(p)
+            )
+            for name, df in jobs.items()
+        }
+        for name, fut in futures.items():
+            fut.result()
     routed.unpersist()
 
 

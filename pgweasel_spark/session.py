@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # smaller AQE target partitions: the rebalance before partitioned
+        # sink writes must yield enough writer tasks to keep all cores busy
+        # (default 64m caps the local bench at ~15 tasks)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # Arrow for pandas UDFs / mapInPandas (the record-split stage).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

@@ -1,0 +1,61 @@
+"""Input sources (SURVEY.md §2.1).
+
+The reference's source surface maps almost entirely to Spark built-ins:
+
+- S1 mmap file scan       → columnar parquet/Iceberg scan (read_webtext)
+- S2 directory expansion  → path globs / recursive listing (native)
+- S3 gzip source          → Spark text/csv readers decode .gz by codec
+                            automatically (read_raw_logs on *.log.gz works
+                            with zero extra code)
+- S4 zip source           → intentionally out of scope: the pipeline input
+                            is a table, not archives (documented divergence)
+- S5 format detection     → url extension → format column (operators/parse)
+- S8 JSON source          → stub, mirroring the reference's explicit
+                            JsonNotYetImplemented (src/error.rs:34)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WEBTEXT_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def read_webtext(
+    spark: SparkSession, path_or_table: str, table_format: str = "parquet"
+) -> DataFrame:
+    """S1: the primary scan. ``table_format='iceberg'`` reads a catalog
+    table on a cluster with the Iceberg runtime (identical downstream
+    plan); this sandbox uses parquet directory tables."""
+    if table_format == "iceberg":
+        df = spark.read.format("iceberg").load(path_or_table)
+    else:
+        df = spark.read.parquet(path_or_table)
+    return df
+
+
+def read_raw_logs(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2/S3 for loose log files (the reference's native input shape):
+    whole-file text read → one synthetic page per file, feeding the same
+    split/extract pipeline. Globs, directories and .gz are handled by the
+    reader itself. Intended for small side inputs / parity testing — the
+    production input is the webtext table."""
+    df = (
+        spark.read.format("text")
+        .option("wholetext", True)
+        .load(path)
+        .select(
+            F.input_file_name().alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.col("value").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    return df
+
+
+def read_jsonlog(spark: SparkSession, path: str) -> DataFrame:
+    """S8: declared-but-unimplemented in the reference
+    (Error::JsonNotYetImplemented, src/error.rs:34) — mirrored."""
+    raise NotImplementedError("jsonlog not yet implemented (parity with reference)")
