@@ -65,14 +65,29 @@ def bench_pipeline(spark, webtext_path: str, out_root: str) -> dict:
     from pgweasel_spark.operators.parse import parse_events
     from pgweasel_spark.plans import pipeline as P
 
-    # warm the page cache + JIT + python workers so the measurement
-    # reflects steady-state pipeline compute, not one-time startup (which
-    # amortizes to zero at scale): touch all input bytes, and run the
-    # mapInPandas splitter once on a small slice to spawn/import workers
+    # warm-up: the measurement window should reflect steady-state pipeline
+    # compute, not one-time startup (which amortizes to zero at scale).
+    # (a) touch all input bytes (OS page cache); (b) spawn + import the
+    # FULL python worker pool — one daemon worker per core; a limit(200)
+    # warm-up only spawns 1-2 workers and the remaining ~30 cold imports
+    # (~0.5s each) then land inside the measured window, anti-scaling;
+    # (c) run a small slice through the whole spine incl. a parquet write
+    # so JVM classes / codegen for every stage are JIT-compiled.
+    n_cores = spark.sparkContext.defaultParallelism
     spark.read.parquet(webtext_path).select(
         F.sum(F.length("text"))
     ).collect()
-    parse_events(spark.read.parquet(webtext_path).limit(200)).count()
+    parse_events(
+        spark.read.parquet(webtext_path).limit(64 * n_cores).repartition(
+            2 * n_cores
+        )
+    ).count()
+    warm_out = os.path.join(out_root, "_warm")
+    warm = enrich(parse_events(spark.read.parquet(webtext_path).limit(500)))
+    route.with_partition_cols(route.explode_sinks(route.sink_flags(warm))).select(
+        *P.ROUTED_COLS
+    ).write.mode("overwrite").partitionBy("sink", "warc_day").parquet(warm_out)
+    shutil.rmtree(warm_out, ignore_errors=True)
 
     t0 = time.time()
     pages = spark.read.parquet(webtext_path)
@@ -108,6 +123,11 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_from_dir(sf_dir)
+    # the scaling harness (tools/bench_scaling.py) runs the pipeline on a
+    # larger input than the per-round query bench so that fixed driver
+    # latency (job scheduling, parquet commit) amortizes and the N-vs-4N
+    # comparison measures steady-state compute
+    sf_bench = float(os.environ.get("SPARK_GRAFT_BENCH_SF", sf))
     skip_queries = os.environ.get("BENCH_SKIP_QUERIES") == "1"
 
     from pgweasel_spark.session import get_spark
@@ -119,7 +139,7 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    webtext = ensure_webtext(sf)
+    webtext = ensure_webtext(sf_bench)
     out_root = os.path.join(REPO, "data", f"bench_out_{cpus}")
     if os.path.exists(out_root):
         shutil.rmtree(out_root)
@@ -142,6 +162,7 @@ def main():
         "unit": "events/sec",
         "queries": query_times,
         "sf": sf,
+        "bench_sf": sf_bench,
         "cpus": int(cpus),
         "pipeline": pipe,
     }

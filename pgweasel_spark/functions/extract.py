@@ -180,15 +180,31 @@ def duration_ms(raw: Column) -> Column:
 # --- lock / system routing predicates (src/filters/) -----------------------
 
 
-def is_lock(raw: Column) -> Column:
+def _any_literal(lowered: Column, patterns: list[str]) -> Column:
+    """OR of ``contains`` over a pre-lowered column — literal multi-pattern
+    match. The reference uses an Aho-Corasick automaton; on the JVM a chain
+    of ``contains`` (intrinsified String.indexOf) beats one big
+    case-insensitive regex alternation, which re-tries every alternative at
+    every position."""
+    expr = lowered.contains(patterns[0].lower())
+    for p in patterns[1:]:
+        expr = expr | lowered.contains(p.lower())
+    return expr
+
+
+def is_lock(raw: Column, lowered: Column | None = None) -> Column:
     """LockingFilter: 17 case-insensitive literals OR case-sensitive
     ``process [0-9]+ acquired`` (locking_filter.rs:12-83)."""
-    return raw.rlike(grammar.lock_regex())
+    low = F.lower(raw) if lowered is None else lowered
+    return _any_literal(low, grammar.LOCK_PATTERNS) | raw.rlike(
+        r"process [0-9]+ acquired"
+    )
 
 
-def is_system(raw: Column) -> Column:
+def is_system(raw: Column, lowered: Column | None = None) -> Column:
     """SystemFilter: 24 case-insensitive literals (system_filter.rs:12-48)."""
-    return raw.rlike(grammar.system_regex())
+    low = F.lower(raw) if lowered is None else lowered
+    return _any_literal(low, grammar.SYSTEM_PATTERNS)
 
 
 # --- connections vocabulary (src/aggregators/connections.rs) ---------------

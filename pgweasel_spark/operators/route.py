@@ -38,6 +38,9 @@ def sink_flags(
     reference's `connections` run feeds it."""
     ok_ts = F.col("event_ts").isNotNull()
     sev_num = F.col("severity_num")
+    # lower(raw) shared by the lock/system literal scans (codegen
+    # subexpression elimination collapses the two uses into one pass)
+    low = F.lower(F.col("raw"))
     return (
         df.withColumn("is_quarantined", ~ok_ts)
         .withColumn("sink_errors", ok_ts & (sev_num >= MIN_SEV_ERRORS))
@@ -49,11 +52,15 @@ def sink_flags(
         )
         .withColumn(
             "sink_locks",
-            ok_ts & (sev_num >= MIN_SEV_LOG) & X.is_lock(F.col("raw")),
+            ok_ts
+            & (sev_num >= MIN_SEV_LOG)
+            & X.is_lock(F.col("raw"), lowered=low),
         )
         .withColumn(
             "sink_system",
-            ok_ts & (sev_num >= MIN_SEV_LOG) & X.is_system(F.col("raw")),
+            ok_ts
+            & (sev_num >= MIN_SEV_LOG)
+            & X.is_system(F.col("raw"), lowered=low),
         )
         .withColumn("sink_stats", ok_ts & (sev_num >= MIN_SEV_LOG))
     )

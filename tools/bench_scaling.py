@@ -26,6 +26,12 @@ def run_level(cpus: int, sf_dir: str) -> dict:
             "SPARK_GRAFT_CPUS": str(cpus),
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "BENCH_SKIP_QUERIES": "1",
+            # 4x the per-round bench input: long enough (minutes, not
+            # seconds, at local[8]) that fixed driver latency amortizes
+            # and the N-vs-4N ratio measures steady-state compute
+            "SPARK_GRAFT_BENCH_SF": os.environ.get(
+                "SPARK_GRAFT_BENCH_SF", "0.4"
+            ),
         }
     )
     # pin the whole process tree (JVM + python workers) to a cpuset of
