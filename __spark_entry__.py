@@ -461,6 +461,17 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     ).orderBy("doc1", "doc2")
 
 
+def q_d6_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    LSH-bucketed scale path is the same function with lsh_planes set —
+    operators/dedup.py:embedding_near_dups). Threshold 0.4 because the
+    synthetic embeddings top out at cosine ~0.51."""
+    from pgweasel_spark.operators.dedup import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.4)
+
+
 def q_t1_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + mean token length."""
     d = _t(spark, sf_dir, "documents")
@@ -618,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_sigs": q_d3_minhash_sigs,
         "d4_ngram_jaccard": q_d4_ngram_jaccard,
         "d5_simhash": q_d5_simhash,
+        "d6_embed_neardup": q_d6_embed_neardup,
         "t1_token_stats": q_t1_token_stats,
         "t2_quality": q_t2_quality,
         "t3_langid": q_t3_langid,
@@ -820,6 +832,21 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b
               ON a.source = b.source AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 10
+            ORDER BY 1, 2
+        """,
+        "d6_embed_neardup": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS doc1, b.vec_id AS doc2,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6)
+                     AS cosine_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
             ORDER BY 1, 2
         """,
         "t1_token_stats": """

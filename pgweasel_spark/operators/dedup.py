@@ -211,3 +211,51 @@ def simhash_near_dups(
             "hamming",
         )
     )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lsh_planes: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (id1 < id2) with
+    cosine >= threshold.
+
+    Exact mode (lsh_planes=None) is the all-pairs baseline — O(n^2), fine
+    for a verification corpus, not for 10^12 rows. The scale path sets
+    ``lsh_planes``: both sides are bucketed by their random-hyperplane sign
+    pattern (similarity.lsh_bucket) and the pair join runs per bucket — a
+    shuffle-hash join on the bucket key instead of a cross join, trading
+    recall (near-dups in different buckets are missed) for a ~2^planes
+    candidate reduction, same trade as MinHash banding in
+    lsh_candidate_pairs."""
+    from pgweasel_spark.operators.similarity import cosine, lsh_bucket
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    if lsh_planes is not None:
+        dim = len(df.select(vec_col).first()[0])
+        base = base.withColumn(
+            "bucket", lsh_bucket("v", n_planes=lsh_planes, dim=dim)
+        )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if lsh_planes is not None:
+        pairs = a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & cond
+        )
+    else:
+        pairs = a.join(b, cond)
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        pairs.select(
+            F.col("a.id").alias("doc1"),
+            F.col("b.id").alias("doc2"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .orderBy("doc1", "doc2")
+    )

@@ -114,6 +114,28 @@ def test_lsh_ann_agrees_with_brute_force_on_top1(spark):
     assert ann and ann[0]["vec_id"] == 200
 
 
+def test_embedding_near_dups_exact_and_lsh(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    # plant two near-duplicate pairs
+    rows.append((120, [v + 0.005 for v in rows[3][1]]))
+    rows.append((121, [v - 0.005 for v in rows[9][1]]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = dedup.embedding_near_dups(e, threshold=0.99).collect()
+    exact_pairs = {(r["doc1"], r["doc2"]) for r in exact}
+    assert (3, 120) in exact_pairs and (9, 121) in exact_pairs
+    # LSH-blocked scale path: candidates are a subset of the exact pairs,
+    # and tiny-angle near-dups share a bucket so the planted pairs survive
+    lsh = dedup.embedding_near_dups(e, threshold=0.99, lsh_planes=6).collect()
+    lsh_pairs = {(r["doc1"], r["doc2"]) for r in lsh}
+    assert lsh_pairs <= exact_pairs
+    assert (3, 120) in lsh_pairs and (9, 121) in lsh_pairs
+
+
 def test_textstats(docs):
     out = textstats.quality_features(docs).collect()
     r0 = [r for r in out if r["doc_id"] == 0][0]
