@@ -164,3 +164,47 @@ def test_synthetic_corpus_agreement(spark):
             assert math.isclose(row["duration_ms"], exp_d, rel_tol=1e-12)
         assert row["user"] == g.extract_user(row["raw"]), row["rid"]
         assert row["event_ts"] == g.parse_timestamp(row["raw"]), row["rid"]
+
+
+def test_jvm_splitter_matches_pandas_splitter(spark):
+    """split_pages_sql (pure JVM split+posexplode) must be byte-identical
+    to split_pages (mapInPandas kernel) — on every reference fixture file
+    as a page, plus empty/no-start/preamble/CRLF edge pages."""
+    from pgweasel_spark.operators.parse import split_pages, split_pages_sql
+
+    pages = []
+    for name in FIXTURE_FILES:
+        with open(os.path.join(FIXTURE_DIR, name), encoding="utf-8") as f:
+            pages.append((f"fx://{name}", None, "en", f.read()))
+    pages += [
+        ("e1", None, "en", ""),
+        ("e2", None, "en", "no record starts here\njust prose"),
+        (
+            "e3",
+            None,
+            "en",
+            "preamble\n2025-05-22 15:15:09.392 EEST LOG:  x\nmore\n"
+            "2025-05-23 01:02:03 UTC ERROR:  y",
+        ),
+        (
+            "e4",
+            None,
+            "en",
+            "2025-05-22 15:15:09.392 EEST LOG:  a\r\n"
+            "2025-05-23 01:02:03 UTC LOG:  b",
+        ),
+        ("e5", None, "en", None),
+    ]
+    df = spark.createDataFrame(
+        pages, "url string, warc_ts timestamp, lang string, text string"
+    )
+    a = {
+        (r["url"], r["record_no"]): r["raw"]
+        for r in split_pages(df).collect()
+    }
+    b = {
+        (r["url"], r["record_no"]): r["raw"]
+        for r in split_pages_sql(df).collect()
+    }
+    assert a == b
+    assert len(a) > 150  # 8 fixture files + 4 non-empty edge pages
