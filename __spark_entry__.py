@@ -321,6 +321,32 @@ def q_r3_record_split(spark, sf_dir):
     )
 
 
+def q_r3b_record_split_sql(spark, sf_dir):
+    """R3 record assembly, JVM-native path (split on record-start
+    lookahead + posexplode — the pipeline default splitter): must produce
+    the same records as r3_record_split against the same oracle."""
+    from pgweasel_spark.operators.parse import split_pages_sql
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("lang"),
+        F.concat(
+            F.lit("2024-01-01 00:00:00 UTC LOG:  first doc="),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\tcontinuation line\n2024-01-02 00:00:00 UTC ERROR:  second doc="),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = split_pages_sql(pages)
+    return out.select(
+        F.regexp_extract("url", "doc://([0-9]+)", 1).cast("long").alias("doc_id"),
+        "record_no",
+        "raw",
+    )
+
+
 def q_h1_lineitem_agg(spark, sf_dir):
     """TPC-H Q1-style scan + partial/final aggregation (the reference's
     clone/update/merge protocol, natively)."""
@@ -621,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_kv_grok": q_p8_kv_grok,
         "p9_duration_grok": q_p9_duration_grok,
         "r3_record_split": q_r3_record_split,
+        "r3b_record_split_sql": q_r3b_record_split_sql,
         "h1_lineitem_agg": q_h1_lineitem_agg,
         "h2_join_topn": q_h2_join_topn,
         "w1_latest_per_user": q_w1_latest_per_user,
@@ -765,6 +792,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lines
         """.replace("{lines}", _LINES_SQL),
         "r3_record_split": """
+            WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+            SELECT doc_id, 0 AS record_no,
+                   '2024-01-01 00:00:00 UTC LOG:  first doc=' || doc_id ||
+                   chr(10) || chr(9) || 'continuation line' || chr(10) AS raw
+            FROM d
+            UNION ALL
+            SELECT doc_id, 1 AS record_no,
+                   '2024-01-02 00:00:00 UTC ERROR:  second doc=' || doc_id AS raw
+            FROM d
+        """,
+        "r3b_record_split_sql": """
             WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
             SELECT doc_id, 0 AS record_no,
                    '2024-01-01 00:00:00 UTC LOG:  first doc=' || doc_id ||
