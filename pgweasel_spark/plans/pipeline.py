@@ -98,10 +98,28 @@ def write_stats(routed: DataFrame, out_root: str) -> None:
     per input; the stats pass reads back only the pruned columns it needs
     from the (much smaller, columnar) sinks."""
     stats = os.path.join(out_root, "stats")
-    # six aggregate jobs share the routed scan — cache it for the pass
-    # (column set is the routed sink schema; at cluster scale this is a
-    # MEMORY_AND_DISK cache of the stats-family sink only)
-    routed = routed.where(F.col("sink").isin("errors", "stats")).cache()
+    # six aggregate jobs share the routed scan — cache it for the pass,
+    # pruned to exactly the columns the aggregates read (raw stays: the
+    # connections failure needles and slow-top output need it; at cluster
+    # scale this is a MEMORY_AND_DISK cache of the stats-family sink only)
+    routed = (
+        routed.where(F.col("sink").isin("errors", "stats"))
+        .select(
+            "sink",
+            "url",
+            "record_no",
+            "raw",
+            "severity",
+            "event_ts",
+            "message",
+            "duration_ms",
+            "host",
+            "user",
+            "db",
+            "appname",
+        )
+        .cache()
+    )
     routed.count()  # materialize once; concurrent jobs then hit the cache
     err = routed.where(F.col("sink") == "errors")
     log_plus = routed.where(F.col("sink") == "stats")
@@ -115,13 +133,16 @@ def write_stats(routed: DataFrame, out_root: str) -> None:
     }
     # submit the six small jobs concurrently — they are independent and
     # individually under-parallel, so serial submission would leave cores
-    # idle (Spark's fair scheduler interleaves their tasks)
+    # idle (Spark's fair scheduler interleaves their tasks). Each report
+    # is tiny (top-N / per-dim / per-bucket rows): coalesce(1) makes the
+    # write a single task + single-file commit instead of
+    # shuffle-partition-many, cutting the fixed driver tail per table.
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         futures = {
             name: pool.submit(
-                lambda d=df, p=f"{stats}/{name}": d.write.mode(
-                    "overwrite"
-                ).parquet(p)
+                lambda d=df, p=f"{stats}/{name}": d.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(p)
             )
             for name, df in jobs.items()
         }

@@ -39,6 +39,14 @@ def get_spark(
         # Scale: adaptive execution re-plans shuffles at runtime, splits
         # skewed partitions, and coalesces tiny ones.
         .config("spark.sql.adaptive.enabled", "true")
+        # task-side commit renames (v2): the default v1 renames every
+        # output file serially on the driver at job end — a visible fixed
+        # tail on partitioned writes here and a real bottleneck at
+        # thousands of files on a cluster
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # smaller AQE target partitions: the rebalance before partitioned
