@@ -90,3 +90,20 @@ def test_severity_filter_pushed_to_scan(spark, webtext_dir, tmp_path):
     )
     plan = _plan(df)
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(severity_num", plan), plan
+
+
+def test_default_spine_has_no_python_nodes(spark, webtext_dir):
+    """With the JVM splitter as default, the whole parse→enrich→route plan
+    must contain zero Python evaluation operators — everything stays in
+    whole-stage codegen (the pandas splitter remains available via
+    parse_events(..., splitter='pandas'))."""
+    from pgweasel_spark.operators import route
+
+    ev = enrich(parse_events(spark.read.parquet(webtext_dir)))
+    routed = route.explode_sinks(route.sink_flags(ev))
+    plan = _plan(routed)
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+    # and the pandas variant really does use Python (guards the knob)
+    plan_p = _plan(parse_events(spark.read.parquet(webtext_dir), splitter="pandas"))
+    assert "MapInPandas" in plan_p
