@@ -231,13 +231,23 @@ def embedding_near_dups(
     recall (near-dups in different buckets are missed) for a ~2^planes
     candidate reduction, same trade as MinHash banding in
     lsh_candidate_pairs."""
-    from pgweasel_spark.operators.similarity import cosine, lsh_bucket
+    from pgweasel_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        lsh_bucket,
+    )
 
+    dim = len(df.select(vec_col).first()[0])
+    # precompute each row's norm once — n norm evaluations instead of 2
+    # per pair, which cuts the per-pair work to a single dot product
+    # (arithmetically identical to cosine(): same float multiply, same
+    # cast-to-double, same left-associative sum)
     base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
     )
     if lsh_planes is not None:
-        dim = len(df.select(vec_col).first()[0])
         base = base.withColumn(
             "bucket", lsh_bucket("v", n_planes=lsh_planes, dim=dim)
         )
@@ -249,7 +259,10 @@ def embedding_near_dups(
         )
     else:
         pairs = a.join(b, cond)
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     return (
         pairs.select(
             F.col("a.id").alias("doc1"),
