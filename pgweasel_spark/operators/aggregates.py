@@ -115,14 +115,23 @@ def connections_by_dim(df: DataFrame) -> DataFrame:
     ]
     parts = []
     for dim_name, flag, col in dims:
-        parts.append(
-            f.where(F.col(flag))
-            .groupBy(
-                F.lit(dim_name).alias("dim"),
-                F.coalesce(F.col(col), F.lit("unknown")).alias("value"),
-            )
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        ids = [c for c in ("url", "record_no") if c in f.columns]
+        keyed = f.where(F.col(flag)).select(
+            *ids,
+            F.lit(dim_name).alias("dim"),
+            F.coalesce(F.col(col), F.lit("unknown")).alias("value"),
         )
+        if dim_name == "host":
+            # hosts are the skewed dimension (a few carry ~80% of events);
+            # two-phase salted count bounds any reducer's share of a hot
+            # host to ~1/n_salts at 10^12-row scale
+            parts.append(salted_count_by(keyed, ["dim", "value"]))
+        else:
+            parts.append(
+                keyed.groupBy("dim", "value").agg(
+                    F.count(F.lit(1)).alias("cnt")
+                )
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
@@ -141,4 +150,43 @@ def connections_buckets(df: DataFrame, bucket_s: int = 600) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bucket_ts", F.timestamp_seconds(F.col("bucket_epoch")))
         .orderBy("bucket_epoch")
+    )
+
+
+def salted_count_by(
+    df: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 16,
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Two-phase skew-salted count: groupBy(keys + salt) partial counts,
+    then groupBy(keys) sum of partials (north-rule: "salting for skewed
+    hosts").
+
+    When this matters: a plain count already map-side-combines (partial
+    HashAggregate), so salting a *count* only helps when the FINAL
+    aggregation's shuffle partition for one hot key exceeds an executor
+    (10^12 rows, one host with billions of events → the partials
+    themselves number in the millions per key). The salt bounds any
+    single reducer's share of a hot key to ~1/n_salts; the second
+    exchange moves only (keys x salts) rows. Also the template for
+    state-heavy aggs (collect/distinct) where partial aggregation cannot
+    collapse the hot key map-side.
+
+    The salt is a deterministic hash of the whole row's natural
+    identifiers if present (url, record_no), else a uniform spread via
+    monotonically-increasing id is avoided (nondeterministic under
+    retries) — fall back to hashing all key + payload columns.
+    """
+    if {"url", "record_no"} <= set(df.columns):
+        salt = F.pmod(F.xxhash64("url", "record_no"), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_partial").alias(count_alias)
     )

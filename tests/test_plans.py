@@ -107,3 +107,19 @@ def test_default_spine_has_no_python_nodes(spark, webtext_dir):
     # and the pandas variant really does use Python (guards the knob)
     plan_p = _plan(parse_events(spark.read.parquet(webtext_dir), splitter="pandas"))
     assert "MapInPandas" in plan_p
+
+
+def test_salted_count_matches_plain_and_is_two_phase(spark, webtext_dir):
+    """salted_count_by must equal a plain groupBy count on the skewed
+    host dimension, via two exchanges (salted partial + final)."""
+    ev = parse_events(spark.read.parquet(webtext_dir)).select(
+        "url", "record_no", F.parse_url("url", F.lit("HOST")).alias("value")
+    )
+    salted = agg.salted_count_by(ev, ["value"])
+    plain = {
+        r["value"]: r["cnt"]
+        for r in ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got = {r["value"]: r["cnt"] for r in salted.collect()}
+    assert got == plain
+    assert _plan(salted).count("Exchange") >= 2
