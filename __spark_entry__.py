@@ -621,6 +621,16 @@ def q_d5_simhash(spark, sf_dir):
     return d.select("doc_id", simhash64("text").alias("simhash"))
 
 
+def q_e3_ivf_ann(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer (Spark ML, fixed seed) + probe
+    of the nearest inverted lists — the k-means sibling of e2's LSH path;
+    iterative training is not SQL-expressible, rows-only check."""
+    from pgweasel_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(e, query_vec_id=0, k=10, n_lists=8, n_probe=2)
+
+
 def q_e2_lsh_ann(spark, sf_dir):
     """Random-hyperplane LSH ANN: deterministic sign-bucket + within-
     bucket brute force (the scale path for e1)."""
@@ -663,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprint": q_t4_fingerprint,
         "e1_cosine_all": q_e1_cosine_all,
         "e2_lsh_ann": q_e2_lsh_ann,
+        "e3_ivf_ann": q_e3_ivf_ann,
         "b1_binary_meta": q_b1_binary_meta,
     }
 

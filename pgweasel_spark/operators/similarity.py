@@ -112,3 +112,90 @@ def lsh_ann_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin).
+    Centroids are a small broadcast-style literal (n_lists × dim); the
+    assignment is a map-only pass — at 10^12 rows this is the IVF
+    build step, writable as a `list_id`-partitioned index table."""
+    best_id, best_d = F.lit(0), None
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), arr, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return df.withColumn("list_id", best_id)
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse quantizer: k-means on the corpus (sampled at real scale)
+    via Spark ML, deterministic under the fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the k-means sibling of lsh_ann_topk): brute
+    force only inside the ``n_probe`` inverted lists whose centroids are
+    nearest the query. At scale the assigned table is the precomputed
+    index, partitioned by ``list_id`` → the probe is a partition-pruned
+    scan of n_probe/n_lists of the corpus."""
+    if centroids is None:
+        centroids = ivf_train_centroids(df, n_lists, vec_col)
+    assigned = ivf_assign(df, centroids, vec_col)
+    q = assigned.where(F.col(id_col) == query_vec_id).first()
+    if q is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    qv = list(q[vec_col])
+    # driver-side: rank the (tiny) centroid table by distance to the query
+    dists = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(centroids[i], qv)),
+    )
+    probe = dists[:n_probe]
+    qcol = F.array(*[F.lit(float(v)) for v in qv])
+    cands = assigned.where(
+        F.col("list_id").isin(probe) & (F.col(id_col) != query_vec_id)
+    )
+    return (
+        cands.select(
+            id_col,
+            F.round(cosine(F.col(vec_col), qcol), 6).alias("cosine_sim"),
+            "list_id",
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

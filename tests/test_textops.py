@@ -184,3 +184,22 @@ def test_multimodal_metadata_and_decode(spark):
     }
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"x")
+
+
+def test_ivf_ann_finds_planted_neighbor(spark):
+    import random
+
+    rng = random.Random(21)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    base = rows[5][1]
+    rows.append((200, [v + 0.01 for v in base]))  # near-dup of vec 5
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = similarity.brute_force_topk(e, 5, k=1).collect()[0]
+    assert bf["vec_id"] == 200
+    ann = similarity.ivf_ann_topk(e, 5, k=5, n_lists=4, n_probe=2).collect()
+    # a tiny-distance neighbor lands in the query's own inverted list
+    assert ann and ann[0]["vec_id"] == 200
+    # candidates really were restricted to the probed lists
+    assert len({r["list_id"] for r in ann}) <= 2
