@@ -109,3 +109,102 @@ def decode_features(
 
     slim = df.select(F.col(id_col), F.col(bin_col))
     return slim.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    width: int = 224,
+    height: int = 224,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Arrow-batched image resize. The fake kernel emits a deterministic
+    payload (digest-seeded, sized width*height bytes capped at 4 KiB) so
+    the 1-row→1-row binary-out plumbing — pruned (id, bytes) input, typed
+    binary output column, batch sizing — is fully exercised without
+    codecs; swap the kernel for PIL on a real cluster."""
+    if decoder != "fake":
+        real_decode(b"")  # raises NotImplementedError
+
+    n_out = min(width * height, 4096)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for x in pdf[bin_col]:
+                h = hashlib.sha256(x or b"").digest()
+                out.append((h * (n_out // len(h) + 1))[:n_out])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized": out,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    n_frames: int = 4,
+    frame_interval_ms: int = 1000,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: one input row → n_frames output rows (the
+    cardinality-changing mapInPandas shape). The fake kernel derives each
+    frame deterministically from (payload digest, frame_no); a real
+    cluster swaps in an ffmpeg seek+decode at ts_ms."""
+    if decoder != "fake":
+        real_decode(b"")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, tss, frames = [], [], [], []
+            for mid, x in zip(pdf[id_col], pdf[bin_col]):
+                base = hashlib.sha256(x or b"").digest()
+                for j in range(n_frames):
+                    ids.append(int(mid))
+                    nos.append(j)
+                    tss.append(j * frame_interval_ms)
+                    frames.append(
+                        hashlib.sha256(base + j.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )

@@ -203,3 +203,27 @@ def test_ivf_ann_finds_planted_neighbor(spark):
     assert ann and ann[0]["vec_id"] == 200
     # candidates really were restricted to the probed lists
     assert len({r["list_id"] for r in ann}) <= 2
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    rows = [
+        Row(media_id=0, payload=b"\xff\xd8\xff\xe0fakejpeg"),
+        Row(media_id=1, payload=b"\x00\x00\x00 ftypmp4fake"),
+    ]
+    df = spark.createDataFrame(rows)
+    rs = multimodal.resize_image(df, "payload", "media_id", 32, 32).collect()
+    assert {r["media_id"] for r in rs} == {0, 1}
+    assert all(len(r["resized"]) == 32 * 32 and r["width"] == 32 for r in rs)
+    rs2 = multimodal.resize_image(df, "payload", "media_id", 32, 32).collect()
+    assert {r["media_id"]: r["resized"] for r in rs} == {
+        r["media_id"]: r["resized"] for r in rs2
+    }  # deterministic
+    fr = multimodal.sample_frames(
+        df, "payload", "media_id", n_frames=3, frame_interval_ms=500
+    ).collect()
+    assert len(fr) == 6  # 2 videos x 3 frames (1→N cardinality)
+    by_key = {(r["media_id"], r["frame_no"]): r for r in fr}
+    assert by_key[(0, 2)]["ts_ms"] == 1000
+    assert by_key[(0, 0)]["frame"] != by_key[(0, 1)]["frame"]
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(df, "payload", "media_id", decoder="real")
