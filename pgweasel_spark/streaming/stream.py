@@ -70,3 +70,53 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+ALERT_SCHEMA = "host string, batch_errors bigint, total_errors bigint, alert boolean"
+ALERT_STATE_SCHEMA = "total bigint"
+
+
+def error_burst_alerts(pages: DataFrame, threshold: int = 5) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per url
+    host, keep a running error count across micro-batches and flag hosts
+    whose cumulative errors cross ``threshold``.
+
+    The reference has no streaming at all (batch scan-once); this is the
+    canonical "custom stateful operator" shape for the incremental
+    pipeline — state is a single counter per key, bounded by the host
+    cardinality, and survives restarts through the stream checkpoint."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        total += batch
+        state.update((total,))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "batch_errors": [batch],
+                "total_errors": [total],
+                "alert": [total >= threshold],
+            }
+        )
+
+    events = parse_events(pages)
+    errors = events.where(F.col("severity_num") >= 8).select(
+        F.coalesce(
+            F.parse_url(F.col("url"), F.lit("HOST")), F.lit("unknown")
+        ).alias("host"),
+        "record_no",
+    )
+    return errors.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -140,3 +140,69 @@ def test_error_rate_stream_plan(spark, webtext_dir, tmp_path):
     # append mode emits only watermark-closed windows; the plan executing
     # without error is the contract here (content asserted in batch tests)
     assert spark.table("rates").columns == ["start", "end", "severity", "cnt"]
+
+
+def test_stateful_error_burst_alerts(spark, tmp_path):
+    """applyInPandasWithState keeps per-host error counts ACROSS
+    micro-batches: two availableNow runs over the same checkpoint must
+    accumulate, and the alert flag must flip when the threshold is hit."""
+    from pyspark.sql import functions as F
+
+    from pgweasel_spark.gen import generate_pages
+    from pgweasel_spark.streaming import stream
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pgweasel_spark.gen import ARROW_SCHEMA
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "alerts")
+
+    def write_batch(name, n_pages, seed):
+        pages = generate_pages(n_pages, seed=seed, include_fixtures=False)
+        pq.write_table(
+            pa.Table.from_pylist(pages, schema=ARROW_SCHEMA),
+            os.path.join(indir, name),
+        )
+
+    def run_once():
+        pages = stream.read_webtext_stream(spark, indir)
+        alerts = stream.error_burst_alerts(pages, threshold=3)
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the file sink appends: rows from ALL runs so far are present;
+        # per host, the row with the highest running total is the latest
+        out = {}
+        for r in spark.read.parquet(outdir).collect():
+            cur = out.get(r["host"])
+            if cur is None or r["total_errors"] > cur["total_errors"]:
+                out[r["host"]] = r
+        return out
+
+    write_batch("b1.parquet", 30, seed=1)
+    first = run_once()
+    assert first, "first batch produced no alert rows"
+    totals1 = {h: r["total_errors"] for h, r in first.items()}
+
+    write_batch("b2.parquet", 30, seed=2)
+    second = run_once()
+    # cumulative state: a host seen in both batches must have
+    # total_errors(second) = total(first) + batch_errors(second)
+    grew = 0
+    for host, r in second.items():
+        if host in totals1 and r["total_errors"] > totals1[host]:
+            assert r["total_errors"] == totals1[host] + r["batch_errors"]
+            grew += 1
+    assert grew > 0, "no host accumulated state across batches"
+    # threshold semantics
+    for r in list(first.values()) + list(second.values()):
+        assert r["alert"] == (r["total_errors"] >= 3)
