@@ -578,14 +578,20 @@ def q_e1_cosine_all(spark, sf_dir):
         F.col("embedding").alias("q_emb")
     )
     joined = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    # double-promote each element BEFORE multiplying (float32 products
+    # diverge from the DuckDB DOUBLE[] oracle at round-to-3 boundaries)
     dot = F.aggregate(
-        F.zip_with("embedding", "q_emb", lambda a, b: (a * b).cast("double")),
+        F.zip_with(
+            "embedding",
+            "q_emb",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     norm = lambda c: F.sqrt(
         F.aggregate(
-            F.transform(c, lambda v: (v * v).cast("double")),
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -628,7 +634,11 @@ def q_e3_ivf_ann(spark, sf_dir):
     from pgweasel_spark.operators.similarity import ivf_ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(e, query_vec_id=0, k=10, n_lists=8, n_probe=2)
+    # train the coarse quantizer on the deterministic 1/4 hash sample —
+    # at corpus scale k-means iterations must never scan the full table
+    return ivf_ann_topk(
+        e, query_vec_id=0, k=10, n_lists=8, n_probe=2, train_sample_mod=4
+    )
 
 
 def q_e2_lsh_ann(spark, sf_dir):
@@ -637,7 +647,7 @@ def q_e2_lsh_ann(spark, sf_dir):
     from pgweasel_spark.operators.similarity import lsh_ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(e, query_vec_id=0, k=10, n_planes=8)
+    return lsh_ann_topk(e, query_vec_id=0, k=10, n_planes=8, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -943,13 +953,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "e1_cosine_all": """
-            WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+            WITH ed AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), q AS (SELECT v AS q_emb FROM ed WHERE vec_id = 0)
             SELECT e.vec_id,
-                   round(list_dot_product(e.embedding, q.q_emb)
-                         / (sqrt(list_dot_product(e.embedding, e.embedding))
+                   round(list_dot_product(e.v, q.q_emb)
+                         / (sqrt(list_dot_product(e.v, e.v))
                             * sqrt(list_dot_product(q.q_emb, q.q_emb))), 3)
                      AS cosine_sim
-            FROM embeddings e, q WHERE e.vec_id != 0
+            FROM ed e, q WHERE e.vec_id != 0
             ORDER BY e.vec_id
         """,
         "b1_binary_meta": """

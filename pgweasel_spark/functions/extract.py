@@ -180,6 +180,19 @@ def duration_ms(raw: Column) -> Column:
 # --- lock / system routing predicates (src/filters/) -----------------------
 
 
+def ascii_lower(raw: Column) -> Column:
+    """ASCII-only case folding — matches the reference's
+    ``ascii_case_insensitive`` Aho-Corasick (locking_filter.rs:81,
+    system_filter.rs:46). ``F.lower`` applies full Unicode folding (e.g.
+    the Kelvin sign K lowercases to 'k'), which would admit matches the
+    reference rejects on non-ASCII input."""
+    return F.translate(
+        raw,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
+
+
 def _any_literal(lowered: Column, patterns: list[str]) -> Column:
     """OR of ``contains`` over a pre-lowered column — literal multi-pattern
     match. The reference uses an Aho-Corasick automaton; on the JVM a chain
@@ -195,7 +208,7 @@ def _any_literal(lowered: Column, patterns: list[str]) -> Column:
 def is_lock(raw: Column, lowered: Column | None = None) -> Column:
     """LockingFilter: 17 case-insensitive literals OR case-sensitive
     ``process [0-9]+ acquired`` (locking_filter.rs:12-83)."""
-    low = F.lower(raw) if lowered is None else lowered
+    low = ascii_lower(raw) if lowered is None else lowered
     return _any_literal(low, grammar.LOCK_PATTERNS) | raw.rlike(
         r"process [0-9]+ acquired"
     )
@@ -203,7 +216,7 @@ def is_lock(raw: Column, lowered: Column | None = None) -> Column:
 
 def is_system(raw: Column, lowered: Column | None = None) -> Column:
     """SystemFilter: 24 case-insensitive literals (system_filter.rs:12-48)."""
-    low = F.lower(raw) if lowered is None else lowered
+    low = ascii_lower(raw) if lowered is None else lowered
     return _any_literal(low, grammar.SYSTEM_PATTERNS)
 
 

@@ -375,11 +375,14 @@ SYSTEM_PATTERNS = [
 #: unlike the Aho-Corasick literals which are case-insensitive.
 _PROCESS_ACQUIRED_RE = re.compile(r"process [0-9]+ acquired")
 
+#: re.ASCII keeps (?i) folding ASCII-only, matching the reference's
+#: ``ascii_case_insensitive`` Aho-Corasick builder (locking_filter.rs:81,
+#: system_filter.rs:46) and the Spark-side extract.ascii_lower.
 _LOCK_RE = re.compile(
-    "(?i:" + "|".join(re.escape(p) for p in LOCK_PATTERNS) + ")"
+    "(?i:" + "|".join(re.escape(p) for p in LOCK_PATTERNS) + ")", re.ASCII
 )
 _SYSTEM_RE = re.compile(
-    "(?i:" + "|".join(re.escape(p) for p in SYSTEM_PATTERNS) + ")"
+    "(?i:" + "|".join(re.escape(p) for p in SYSTEM_PATTERNS) + ")", re.ASCII
 )
 
 

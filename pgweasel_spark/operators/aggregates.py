@@ -174,14 +174,20 @@ def salted_count_by(
     collapse the hot key map-side.
 
     The salt is a deterministic hash of the whole row's natural
-    identifiers if present (url, record_no), else a uniform spread via
-    monotonically-increasing id is avoided (nondeterministic under
-    retries) — fall back to hashing all key + payload columns.
+    identifiers if present (url, record_no); the fallback mixes in
+    spark_partition_id() so rows that are byte-identical across all
+    columns (where a pure column hash would be functionally dependent on
+    the key, leaving the hot key on one reducer) still spread across
+    partitions. partition_id is stable under task retry (a rerun re-reads
+    the same partition), so the salt stays deterministic per attempt;
+    monotonically_increasing_id is avoided (retry-nondeterministic).
     """
     if {"url", "record_no"} <= set(df.columns):
         salt = F.pmod(F.xxhash64("url", "record_no"), F.lit(n_salts))
     else:
-        salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+        salt = F.pmod(
+            F.xxhash64(F.spark_partition_id(), *df.columns), F.lit(n_salts)
+        )
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")

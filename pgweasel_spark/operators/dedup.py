@@ -219,6 +219,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     lsh_planes: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (id1 < id2) with
     cosine >= threshold.
@@ -237,7 +238,6 @@ def embedding_near_dups(
         lsh_bucket,
     )
 
-    dim = len(df.select(vec_col).first()[0])
     # precompute each row's norm once — n norm evaluations instead of 2
     # per pair, which cuts the per-pair work to a single dot product
     # (arithmetically identical to cosine(): same float multiply, same
@@ -248,9 +248,17 @@ def embedding_near_dups(
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
     if lsh_planes is not None:
-        base = base.withColumn(
-            "bucket", lsh_bucket("v", n_planes=lsh_planes, dim=dim)
-        )
+        if dim is None:
+            # convenience-only probe (one tiny driver job); hot paths pass
+            # dim explicitly. Empty input → dim 0 → exact join of 0 rows.
+            row = df.select(vec_col).first()
+            dim = len(row[0]) if row is not None else 0
+        if dim > 0:
+            base = base.withColumn(
+                "bucket", lsh_bucket("v", n_planes=lsh_planes, dim=dim)
+            )
+        else:
+            lsh_planes = None
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if lsh_planes is not None:

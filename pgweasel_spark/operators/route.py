@@ -38,9 +38,11 @@ def sink_flags(
     reference's `connections` run feeds it."""
     ok_ts = F.col("event_ts").isNotNull()
     sev_num = F.col("severity_num")
-    # lower(raw) shared by the lock/system literal scans (codegen
-    # subexpression elimination collapses the two uses into one pass)
-    low = F.lower(F.col("raw"))
+    # ASCII-folded raw shared by the lock/system literal scans (codegen
+    # subexpression elimination collapses the two uses into one pass);
+    # ASCII-only folding matches the reference's ascii_case_insensitive
+    # Aho-Corasick (see extract.ascii_lower)
+    low = X.ascii_lower(F.col("raw"))
     return (
         df.withColumn("is_quarantined", ~ok_ts)
         .withColumn("sink_errors", ok_ts & (sev_num >= MIN_SEV_ERRORS))

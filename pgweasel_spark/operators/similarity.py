@@ -15,8 +15,12 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    # promote each element to double BEFORE the multiply: float*float
+    # rounds the product to float32 first, which diverges from engines
+    # (DuckDB list_dot_product on DOUBLE[]) that multiply in float64 —
+    # at round-to-N a boundary value flips (round-1 e1 hash mismatch).
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -25,7 +29,7 @@ def dot(a: Column, b: Column) -> Column:
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda v: (v * v).cast("double")),
+            F.transform(a, lambda v: v.cast("double") * v.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -88,13 +92,19 @@ def lsh_ann_topk(
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: restrict the brute-force scan to the query's
     LSH bucket. At 10^12 rows the bucketed table is the precomputed index
-    (partitioned by bucket → partition-pruned scan per query)."""
-    dim = len(
-        df.where(F.col(id_col) == query_vec_id).select(vec_col).first()[0]
-    )
+    (partitioned by bucket → partition-pruned scan per query).
+
+    Pass ``dim`` explicitly on hot paths — the ``None`` fallback probes
+    the corpus with an extra driver job (convenience only)."""
+    if dim is None:
+        row = df.where(F.col(id_col) == query_vec_id).select(vec_col).first()
+        if row is None:
+            raise ValueError(f"query vec_id {query_vec_id} not found")
+        dim = len(row[0])
     bucketed = df.withColumn(
         "bucket", lsh_bucket(vec_col, n_planes=n_planes, dim=dim)
     )
@@ -147,12 +157,20 @@ def ivf_train_centroids(
     n_lists: int = 8,
     vec_col: str = "embedding",
     seed: int = 42,
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ) -> list[list[float]]:
-    """Coarse quantizer: k-means on the corpus (sampled at real scale)
-    via Spark ML, deterministic under the fixed seed."""
+    """Coarse quantizer: k-means via Spark ML, deterministic under the
+    fixed seed. ``sample_mod=M`` trains on the deterministic 1/M hash
+    sample of the corpus (rows with xxhash64(id) % M == 0) — at 100 TB
+    the iterative k-means must never scan the full corpus; a hash sample
+    is reproducible across retries, unlike ``df.sample``'s
+    partition-order-dependent RNG."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_mod is not None and sample_mod > 1:
+        df = df.where(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
     feats = df.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
     return [list(map(float, c)) for c in model.clusterCenters()]
@@ -167,14 +185,19 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k (the k-means sibling of lsh_ann_topk): brute
     force only inside the ``n_probe`` inverted lists whose centroids are
     nearest the query. At scale the assigned table is the precomputed
     index, partitioned by ``list_id`` → the probe is a partition-pruned
-    scan of n_probe/n_lists of the corpus."""
+    scan of n_probe/n_lists of the corpus. Precomputed ``centroids`` are
+    the primary path; inline training honors ``train_sample_mod`` so the
+    k-means iterations run on a hash sample, never the full corpus."""
     if centroids is None:
-        centroids = ivf_train_centroids(df, n_lists, vec_col)
+        centroids = ivf_train_centroids(
+            df, n_lists, vec_col, id_col=id_col, sample_mod=train_sample_mod
+        )
     assigned = ivf_assign(df, centroids, vec_col)
     q = assigned.where(F.col(id_col) == query_vec_id).first()
     if q is None:

@@ -107,7 +107,9 @@ def error_burst_alerts(pages: DataFrame, threshold: int = 5) -> DataFrame:
         )
 
     events = parse_events(pages)
-    errors = events.where(F.col("severity_num") >= 8).select(
+    errors = events.where(
+        F.col("severity_num") >= route.MIN_SEV_ERRORS
+    ).select(
         F.coalesce(
             F.parse_url(F.col("url"), F.lit("HOST")), F.lit("unknown")
         ).alias("host"),
