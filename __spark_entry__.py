@@ -39,6 +39,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: 13 csvlog fields (field 12 = severity, 13 = sql_state) preceding the
+#: message field in the constructed P6 lines — identical in both engines
+_CSV13_PREFIX = "f1,f2,f3,f4,f5,f6,f7,f8,f9,f10,f11,LOG,00000,"
+
+
 def _events_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + deterministically constructed pgweasel-grammar log lines
     (identical construction in the DuckDB oracles)."""
@@ -68,6 +73,105 @@ def _events_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
         F.lit(" UTC [123] LOG:  checkpoint"),
     )
+    # csvlog severity needles (P2): a both-needles row (precedence: LOG
+    # before ERROR in SEVERITY_ORDER), a data-driven needle, a FATAL row,
+    # and a no-needle row
+    csv_sev_line = (
+        F.when(k < 20, F.lit("a,ERROR,b,LOG,c"))
+        .when(k < 40, F.concat(F.lit("x,"), F.upper("event_type"), F.lit(",y")))
+        .when(k < 60, F.lit("x,FATAL,y"))
+        .otherwise(F.concat(F.lit("no needle "), F.col("props")))
+    )
+    # csvlog field-14 (P6): 13 unquoted fields, then an unquoted (even k)
+    # or quoted-with-""-escapes (odd k) message field, then trailing fields
+    raw_msg = F.concat(
+        F.lit('said "'),
+        F.col("event_type"),
+        F.lit('", value k='),
+        k.cast("string"),
+    )
+    csv_msg_line = F.concat(
+        F.lit(_CSV13_PREFIX),
+        F.when(
+            k % 2 == 0, F.concat(F.lit("dup key k="), k.cast("string"))
+        ).otherwise(
+            F.concat(
+                F.lit('"'), F.regexp_replace(raw_msg, '"', '""'), F.lit('"')
+            )
+        ),
+        F.lit(",detail,ctx"),
+    )
+    # F5 lock needles: cs process-acquired hit, an UPPERCASE process-
+    # acquired (must NOT match — case-sensitive in the reference), mixed-
+    # case ci literals, and a no-needle row
+    lock_line = (
+        F.when(
+            k < 10,
+            F.concat(
+                F.lit("process "),
+                F.col("event_id").cast("string"),
+                F.lit(" acquired ShareLock on transaction 1"),
+            ),
+        )
+        .when(k < 20, F.lit("PROCESS 7 ACQUIRED higher level notice"))
+        .when(k < 35, F.lit("DeadLock Detected while scanning"))
+        .when(k < 50, F.lit("update blocked; Wait queue: 123"))
+        .when(k < 70, F.lit("process 5 still waiting for ShareLock"))
+        .otherwise(F.concat(F.lit("no needle "), F.col("props")))
+    )
+    # F6 system needles (mixed case + substring-needle rows)
+    sys_line = (
+        F.when(k < 15, F.lit("CHECKPOINTER process started"))
+        .when(k < 30, F.lit('listening on IPv4 address "127.0.0.1"'))
+        .when(k < 45, F.lit("database system is ready to accept connections"))
+        .when(k < 60, F.lit("recycled WAL segment 00000001"))
+        .otherwise(F.concat(F.lit("no needle "), F.col("props")))
+    )
+    # F2 min-severity gate lines incl. the Panic→0 quirk and the LOG-
+    # before-ERROR precedence interplay
+    m7 = k % 7
+    gate_line = (
+        F.when(m7 == 0, F.lit("PANIC:  system crash imminent"))
+        .when(m7 == 1, F.lit("ERROR:  boom"))
+        .when(m7 == 2, F.lit("FATAL:  terminating connection"))
+        .when(m7 == 3, F.lit("WARNING:  be careful"))
+        .when(m7 == 4, F.lit("LOG:  ok ERROR: nested text"))
+        .otherwise(F.lit("plain text line"))
+    )
+    # A4 by-dim connection lines: received(host), authorized(user/db[,SSL]),
+    # authorized-with-appname-only (user/db → 'unknown'), failure, noise
+    conn_line = (
+        F.when(
+            k < 25,
+            F.concat(
+                F.lit("LOG:  connection received: host=10.0.0."),
+                (F.col("event_id") % 9).cast("string"),
+                F.lit(" port=51"),
+            ),
+        )
+        .when(
+            k < 35,
+            F.concat(
+                F.lit("LOG:  connection authorized: user=u"),
+                (F.col("user_id") % 7).cast("string"),
+                F.lit(" database=db"),
+                (F.col("event_id") % 4).cast("string"),
+                F.lit(" SSL enabled"),
+            ),
+        )
+        .when(
+            k < 45,
+            F.concat(
+                F.lit("LOG:  connection authorized: user=u"),
+                (F.col("user_id") % 7).cast("string"),
+                F.lit(" database=db"),
+                (F.col("event_id") % 4).cast("string"),
+            ),
+        )
+        .when(k < 50, F.lit("LOG:  connection authorized: application_name=app1"))
+        .when(k < 55, F.lit('FATAL:  password authentication failed for user "u1"'))
+        .otherwise(F.lit("LOG:  checkpoint complete"))
+    )
     return (
         ev.withColumn("k", k)
         .withColumn("sev_line", sev_line)
@@ -75,19 +179,21 @@ def _events_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kv_line", kv_line)
         .withColumn("msg_line", msg_line)
         .withColumn("ts_line", ts_line)
+        .withColumn("csv_sev_line", csv_sev_line)
+        .withColumn("csv_msg_line", csv_msg_line)
+        .withColumn("lock_line", lock_line)
+        .withColumn("sys_line", sys_line)
+        .withColumn("gate_line", gate_line)
+        .withColumn("conn_line", conn_line)
     )
 
 
-_LINES_SQL = """
+_LINES_SQL = f"""
     SELECT *,
-      CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
       CASE
-        WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) < 20
-          THEN 'LOG:  checkpoint starting ERROR: nested'
-        WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) < 40
-          THEN upper(event_type) || ':  message text'
-        WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) < 60
-          THEN 'FATAL:  password authentication failed'
+        WHEN k < 20 THEN 'LOG:  checkpoint starting ERROR: nested'
+        WHEN k < 40 THEN upper(event_type) || ':  message text'
+        WHEN k < 60 THEN 'FATAL:  password authentication failed'
         ELSE 'no needle ' || props
       END AS sev_line,
       'exec [1] LOG:  duration: ' || CAST(round(value, 2) AS VARCHAR)
@@ -97,8 +203,47 @@ _LINES_SQL = """
         || ' host=10.0.0.' || CAST(event_id % 9 AS VARCHAR) AS kv_line,
       event_type || ':   ' || props AS msg_line,
       strftime(ts, '%Y-%m-%d %H:%M:%S') || ' UTC [123] LOG:  checkpoint'
-        AS ts_line
-    FROM events
+        AS ts_line,
+      CASE
+        WHEN k < 20 THEN 'a,ERROR,b,LOG,c'
+        WHEN k < 40 THEN 'x,' || upper(event_type) || ',y'
+        WHEN k < 60 THEN 'x,FATAL,y'
+        ELSE 'no needle ' || props
+      END AS csv_sev_line,
+      '{_CSV13_PREFIX}' ||
+      CASE
+        WHEN k % 2 = 0 THEN 'dup key k=' || k
+        ELSE '"' || replace('said "' || event_type || '", value k=' || k,
+                            '"', '""') || '"'
+      END || ',detail,ctx' AS csv_msg_line,
+      CASE
+        WHEN k < 10 THEN 'process ' || event_id
+                         || ' acquired ShareLock on transaction 1'
+        WHEN k < 20 THEN 'PROCESS 7 ACQUIRED higher level notice'
+        WHEN k < 35 THEN 'DeadLock Detected while scanning'
+        WHEN k < 50 THEN 'update blocked; Wait queue: 123'
+        WHEN k < 70 THEN 'process 5 still waiting for ShareLock'
+        ELSE 'no needle ' || props
+      END AS lock_line,
+      CASE
+        WHEN k < 15 THEN 'CHECKPOINTER process started'
+        WHEN k < 30 THEN 'listening on IPv4 address "127.0.0.1"'
+        WHEN k < 45 THEN 'database system is ready to accept connections'
+        WHEN k < 60 THEN 'recycled WAL segment 00000001'
+        ELSE 'no needle ' || props
+      END AS sys_line,
+      CASE k % 7
+        WHEN 0 THEN 'PANIC:  system crash imminent'
+        WHEN 1 THEN 'ERROR:  boom'
+        WHEN 2 THEN 'FATAL:  terminating connection'
+        WHEN 3 THEN 'WARNING:  be careful'
+        WHEN 4 THEN 'LOG:  ok ERROR: nested text'
+        ELSE 'plain text line'
+      END AS gate_line
+    FROM (
+      SELECT *, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+      FROM events
+    )
 """
 
 def _words():
@@ -293,6 +438,88 @@ def q_p9_duration_grok(spark, sf_dir):
         "event_id",
         F.round(X.duration_ms(F.col("dur_line")), 2).alias("duration_ms"),
     )
+
+
+def q_p2_severity_csv(spark, sf_dir):
+    """P2 csvlog severity: ``,SEV,`` needle scan in SEVERITY_ORDER
+    precedence (src/severity.rs:20-58) on constructed csv lines; the
+    both-needles row checks that LOG wins over ERROR by scan order, not
+    position."""
+    ev = _events_with_lines(spark, sf_dir)
+    return (
+        ev.select(X.severity_csv(F.col("csv_sev_line")).alias("severity"))
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("severity")
+    )
+
+
+def q_p6_message_csv(spark, sf_dir):
+    """P6 csvlog message: field 14 of the 26-column grammar, surrounding
+    quotes stripped, ""-escapes kept verbatim (src/format/csv.rs:1-53).
+    The oracle states the expected field-14 content directly from the
+    line construction — an independent formulation of the regex."""
+    ev = _events_with_lines(spark, sf_dir)
+    return ev.select(
+        "event_id", X.message_csv(F.col("csv_msg_line")).alias("message")
+    )
+
+
+def q_f2_min_severity(spark, sf_dir):
+    """F2 min-severity gate: severity→ordinal with the Panic→0 quirk
+    (src/severity.rs:161-176 maps PANIC to 0, so a ``-l error`` gate
+    EXCLUDES panic records) — the gate that guards every sink."""
+    from pgweasel_spark.operators import route
+
+    ev = _events_with_lines(spark, sf_dir)
+    sev = X.severity_plain(F.col("gate_line"))
+    out = ev.select(
+        "event_id",
+        sev.alias("severity"),
+        X.severity_num(sev).alias("ordinal"),
+    )
+    return out.where(F.col("ordinal") >= route.MIN_SEV_ERRORS)
+
+
+def q_f5_locks(spark, sf_dir):
+    """F5 LockingFilter: 17 ci literals OR case-sensitive
+    ``process [0-9]+ acquired`` (locking_filter.rs:12-83); the UPPERCASE
+    process-acquired row must NOT match."""
+    ev = _events_with_lines(spark, sf_dir)
+    return ev.where(X.is_lock(F.col("lock_line"))).select(
+        "event_id", "lock_line"
+    )
+
+
+def q_f6_system(spark, sf_dir):
+    """F6 SystemFilter: 24 ci literals (system_filter.rs:12-48)."""
+    ev = _events_with_lines(spark, sf_dir)
+    return ev.where(X.is_system(F.col("sys_line"))).select(
+        "event_id", "sys_line"
+    )
+
+
+def q_a4c_conn_by_dim(spark, sf_dir):
+    """A4 connections by-dim: the four per-dimension count maps
+    (host-of-received, user/db/appname-of-authorized, missing kv →
+    'unknown', connections.rs:63-98) over constructed connection lines,
+    running the production extraction + the salted by-dim aggregate."""
+    from pgweasel_spark.operators import aggregates as agg_ops
+
+    ev = _events_with_lines(spark, sf_dir)
+    line = F.col("conn_line")
+    frame = ev.select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("url"),
+        F.lit(0).alias("record_no"),
+        line.alias("raw"),
+        X.severity_plain(line).alias("severity"),
+        X.message_plain(line).alias("message"),
+        X.host(line).alias("host"),
+        X.user(line).alias("user"),
+        X.db(line).alias("db"),
+        X.appname(line).alias("appname"),
+    )
+    return agg_ops.connections_by_dim(frame)
 
 
 def q_r3_record_split(spark, sf_dir):
@@ -661,7 +888,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_time_range": q_f3_time_range,
         "f4_slow_filter": q_f4_slow_filter,
         "p1_severity_grok": q_p1_severity_grok,
+        "p2_severity_csv": q_p2_severity_csv,
         "p3_severity_enrich": q_p3_severity_enrich,
+        "p6_message_csv": q_p6_message_csv,
+        "f2_min_severity": q_f2_min_severity,
+        "f5_locks": q_f5_locks,
+        "f6_system": q_f6_system,
+        "a4c_conn_by_dim": q_a4c_conn_by_dim,
         "p5_message_grok": q_p5_message_grok,
         "p7_timestamp_grok": q_p7_timestamp_grok,
         "p8_kv_grok": q_p8_kv_grok,
@@ -714,6 +947,30 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN contains(sev_line, '{name}:') THEN '{name.lower()}' "
         )
     severity_case += "ELSE 'log' END"
+
+    csv_severity_case = "CASE "
+    for name in grammar.SEVERITY_ORDER:
+        csv_severity_case += (
+            f"WHEN contains(csv_sev_line, ',{name},') THEN '{name.lower()}' "
+        )
+    csv_severity_case += "ELSE 'log' END"
+
+    gate_severity_case = "CASE "
+    for name in grammar.SEVERITY_ORDER:
+        gate_severity_case += (
+            f"WHEN contains(gate_line, '{name}:') THEN '{name.lower()}' "
+        )
+    gate_severity_case += "ELSE 'log' END"
+
+    lock_pred = " OR ".join(
+        f"contains(lower(lock_line), '{p.lower()}')"
+        for p in grammar.LOCK_PATTERNS
+    )
+    lock_pred += " OR regexp_matches(lock_line, 'process [0-9]+ acquired')"
+    system_pred = " OR ".join(
+        f"contains(lower(sys_line), '{p.lower()}')"
+        for p in grammar.SYSTEM_PATTERNS
+    )
 
     ordinal_case = "CASE "
     for sev, n in grammar.SEVERITY_NUM.items():
@@ -778,6 +1035,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM({ordinal_case}) AS BIGINT) AS ordinal_sum
             FROM sev GROUP BY 1 ORDER BY 1
         """,
+        "p2_severity_csv": f"""
+            WITH lines AS ({_LINES_SQL})
+            SELECT {csv_severity_case} AS severity, COUNT(*) AS cnt
+            FROM lines GROUP BY 1 ORDER BY 1
+        """,
+        "p6_message_csv": """
+            WITH lines AS ({lines})
+            SELECT event_id,
+                   CASE WHEN k % 2 = 0 THEN 'dup key k=' || k
+                        ELSE replace('said "' || event_type
+                                     || '", value k=' || k, '"', '""')
+                   END AS message
+            FROM lines
+        """.replace("{lines}", _LINES_SQL),
+        "f2_min_severity": f"""
+            WITH lines AS ({_LINES_SQL}),
+            sev AS (
+              SELECT event_id, {gate_severity_case} AS severity FROM lines
+            )
+            SELECT event_id, severity, {ordinal_case} AS ordinal
+            FROM sev WHERE {ordinal_case} >= 8
+        """,
+        "f5_locks": f"""
+            WITH lines AS ({_LINES_SQL})
+            SELECT event_id, lock_line FROM lines WHERE {lock_pred}
+        """,
+        "f6_system": f"""
+            WITH lines AS ({_LINES_SQL})
+            SELECT event_id, sys_line FROM lines WHERE {system_pred}
+        """,
+        "a4c_conn_by_dim": """
+            WITH lines AS ({lines})
+            SELECT 'host' AS dim, '10.0.0.' || (event_id % 9) AS value,
+                   COUNT(*) AS cnt
+            FROM lines WHERE k < 25 GROUP BY 2
+            UNION ALL
+            SELECT 'user',
+                   CASE WHEN k < 45 THEN 'u' || (user_id % 7)
+                        ELSE 'unknown' END, COUNT(*)
+            FROM lines WHERE k >= 25 AND k < 50 GROUP BY 2
+            UNION ALL
+            SELECT 'database',
+                   CASE WHEN k < 45 THEN 'db' || (event_id % 4)
+                        ELSE 'unknown' END, COUNT(*)
+            FROM lines WHERE k >= 25 AND k < 50 GROUP BY 2
+            UNION ALL
+            SELECT 'appname',
+                   CASE WHEN k < 45 THEN 'unknown' ELSE 'app1' END, COUNT(*)
+            FROM lines WHERE k >= 25 AND k < 50 GROUP BY 2
+        """.replace("{lines}", _LINES_SQL),
         "p5_message_grok": r"""
             WITH lines AS ({lines})
             SELECT event_id,
