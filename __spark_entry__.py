@@ -681,37 +681,15 @@ def q_d3_minhash_sigs(spark, sf_dir):
 
 
 def q_d4_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup: candidate pairs blocked by (source,
-    n_chars band), exact Jaccard over distinct 3-word shingles."""
+    """N-gram Jaccard near-dup: candidates blocked on the EQUI-join key
+    (source, floor(n_chars/10)) with ±1 neighbor buckets (skew-safe at
+    scale — a dominant source still spreads over size buckets), exact
+    Jaccard over distinct 3-word shingles. The DuckDB oracle keeps the
+    inequality formulation — an independent statement of the same set."""
+    from pgweasel_spark.operators.dedup import ngram_jaccard_near_dups
+
     d = _t(spark, sf_dir, "documents")
-    shingles = F.array_distinct(
-        F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3),"
-            " i -> concat_ws(' ', split(text, ' ')[i],"
-            " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
-        )
-    )
-    base = d.where(F.size(_words()) >= 3).select(
-        "doc_id", "source", "n_chars", shingles.alias("sh")
-    )
-    a = base.alias("a")
-    b = base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
-    )
-    jac = F.round(
-        F.size(F.array_intersect("a.sh", "b.sh"))
-        / F.size(F.array_union("a.sh", "b.sh")),
-        4,
-    )
-    return pairs.select(
-        F.col("a.doc_id").alias("doc1"),
-        F.col("b.doc_id").alias("doc2"),
-        jac.alias("jaccard"),
-    ).orderBy("doc1", "doc2")
+    return ngram_jaccard_near_dups(d).orderBy("doc1", "doc2")
 
 
 def q_d6_embed_neardup(spark, sf_dir):
@@ -846,12 +824,24 @@ def q_b1_binary_meta(spark, sf_dir):
 
 
 def q_d5_simhash(spark, sf_dir):
-    """SimHash (64-bit) per document via per-word xxhash64 bit voting —
-    bit-level loop is not reasonably SQL-expressible, rows-only check."""
-    from pgweasel_spark.operators.dedup import simhash64
+    """SimHash (60-bit, portable md5-derived word hash) per document —
+    per-bit ±1 voting entirely in JVM higher-order functions; the DuckDB
+    oracle restates the identical arithmetic with list comprehensions."""
+    from pgweasel_spark.operators.dedup import simhash60
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64("text").alias("simhash"))
+    return d.select("doc_id", simhash60("text").alias("simhash"))
+
+
+def q_d5b_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs via 4×15-bit multi-band blocking (union of
+    band equi-joins — the scale path; pigeonhole guarantees total recall
+    for Hamming < n_bands) + bit_count(xor) verification. The oracle
+    replicates the banded-candidate semantics exactly."""
+    from pgweasel_spark.operators.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=8).orderBy("doc1", "doc2")
 
 
 def q_e3_ivf_ann(spark, sf_dir):
@@ -870,11 +860,25 @@ def q_e3_ivf_ann(spark, sf_dir):
 
 def q_e2_lsh_ann(spark, sf_dir):
     """Random-hyperplane LSH ANN: deterministic sign-bucket + within-
-    bucket brute force (the scale path for e1)."""
+    bucket brute force (the scale path for e1). The ±1 plane matrix is a
+    fixed pseudo-random pattern, so the DuckDB oracle restates the exact
+    bucketing; 4 planes keep the query's bucket big enough that the
+    top-10 is a meaningful value check at sf0.01."""
     from pgweasel_spark.operators.similarity import lsh_ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(e, query_vec_id=0, k=10, n_planes=8, dim=64)
+    return lsh_ann_topk(e, query_vec_id=0, k=10, n_planes=4, dim=64)
+
+
+def q_d6b_embed_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs, LSH-bucketed scale path (what a 10^12-row
+    corpus would run): pair join per sign-bucket instead of all-pairs.
+    The oracle replicates the bucket computation, so the recall trade is
+    itself value-checked (result is a bucket-filtered subset of d6)."""
+    from pgweasel_spark.operators.dedup import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.4, lsh_planes=8, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -909,7 +913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_sigs": q_d3_minhash_sigs,
         "d4_ngram_jaccard": q_d4_ngram_jaccard,
         "d5_simhash": q_d5_simhash,
+        "d5b_simhash_neardup": q_d5b_simhash_neardup,
         "d6_embed_neardup": q_d6_embed_neardup,
+        "d6b_embed_neardup_lsh": q_d6b_embed_neardup_lsh,
         "t1_token_stats": q_t1_token_stats,
         "t2_quality": q_t2_quality,
         "t3_langid": q_t3_langid,
@@ -924,6 +930,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+def _duck_hash60(expr: str) -> str:
+    """DuckDB restatement of dedup._WORD_HASH60: top 15 hex chars of md5
+    as a 60-bit integer, built from per-character shifts (integer-exact;
+    a pow()-based form would lose precision above 2^53)."""
+    return (
+        "("
+        + " + ".join(
+            f"((strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
+            f"::BIGINT << {4 * (15 - i)})"
+            for i in range(1, 16)
+        )
+        + ")"
+    )
+
+
+_SIMHASH_CTE = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), hs AS (
+      SELECT doc_id, [{_duck_hash60('x')} for x in ws] AS hs FROM w
+    ), sig AS (
+      SELECT doc_id,
+             CAST(list_sum([
+               CASE WHEN list_sum([
+                      CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                      for h in hs]) > 0
+                    THEN (1::BIGINT << j) ELSE 0 END
+               for j in range(0, 60)]) AS BIGINT) AS sh
+      FROM hs
+    )
+"""
+
+
+def _duck_lsh_bucket(n_planes: int, dim: int, vcol: str = "v") -> str:
+    """DuckDB restatement of similarity.lsh_bucket: bit j set iff the dot
+    product against the deterministic ±1 plane j is positive."""
+    from pgweasel_spark.operators.similarity import _plane_sign
+
+    terms = []
+    for j in range(n_planes):
+        arr = ", ".join(str(_plane_sign(j, i)) for i in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product({vcol}, [{arr}]::DOUBLE[]) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
 
 _SHINGLES_CTE = """
     WITH base AS (
@@ -1200,6 +1254,23 @@ def oracle_sql() -> dict[str, str]:
              AND abs(a.n_chars - b.n_chars) <= 10
             ORDER BY 1, 2
         """,
+        "d5_simhash": _SIMHASH_CTE
+        + """
+            SELECT doc_id, sh AS simhash FROM sig ORDER BY doc_id
+        """,
+        "d5b_simhash_neardup": _SIMHASH_CTE
+        + """
+            , banded AS (
+              SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bval
+              FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)
+            )
+            SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2,
+                   CAST(bit_count(xor(a.sh, b2.sh)) AS INT) AS hamming
+            FROM banded a JOIN banded b2
+              ON a.b = b2.b AND a.bval = b2.bval AND a.doc_id < b2.doc_id
+            WHERE bit_count(xor(a.sh, b2.sh)) <= 8
+            ORDER BY 1, 2
+        """,
         "d6_embed_neardup": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1271,14 +1342,47 @@ def oracle_sql() -> dict[str, str]:
             FROM ed e, q WHERE e.vec_id != 0
             ORDER BY e.vec_id
         """,
+        "e2_lsh_ann": f"""
+            WITH ed AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), b AS (
+              SELECT vec_id, v, {_duck_lsh_bucket(4, 64)} AS bucket FROM ed
+            ), q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+            SELECT b.vec_id,
+                   round(list_dot_product(b.v, q.qv)
+                         / (sqrt(list_dot_product(b.v, b.v))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                     AS cosine_sim
+            FROM b, q WHERE b.bucket = q.qb AND b.vec_id != 0
+            ORDER BY cosine_sim DESC, b.vec_id ASC LIMIT 10
+        """,
+        "d6b_embed_neardup_lsh": f"""
+            WITH ed AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), b AS (
+              SELECT vec_id, v, {_duck_lsh_bucket(8, 64)} AS bucket FROM ed
+            )
+            SELECT a.vec_id AS doc1, b2.vec_id AS doc2,
+                   round(list_dot_product(a.v, b2.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b2.v, b2.v))), 6)
+                     AS cosine_sim
+            FROM b a JOIN b b2
+              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            WHERE round(list_dot_product(a.v, b2.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b2.v, b2.v))), 6) >= 0.4
+            ORDER BY 1, 2
+        """,
         "b1_binary_meta": """
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
                    sha256(text) AS digest
             FROM documents
         """,
-        # d5_simhash, e2_lsh_ann: intentionally omitted (bit-twiddling /
-        # iterative bucketed ANN — rows-only check)
+        # e3_ivf_ann: intentionally omitted (iterative k-means training is
+        # not SQL-expressible — rows-only check; its LSH sibling e2 IS
+        # value-checked, as are both embedding near-dup paths d6/d6b)
     }
 
 

@@ -165,10 +165,103 @@ def minhash_dedup(
     )
 
 
+#: SQL fragment: engine-portable 60-bit word hash — the top 15 hex chars
+#: of md5 as an integer. Same scheme as the minhash signatures (seeded
+#: md5): DuckDB can state the identical value, so the simhash operator is
+#: oracle-checkable cross-engine. A speed-only deployment would swap in
+#: xxhash64 (simhash64 below).
+_WORD_HASH60 = "cast(conv(substr(md5({w}), 1, 15), 16, 10) as bigint)"
+
+SIMHASH_BITS = 60
+
+
+def ngram_jaccard_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    block_col: str = "source",
+    size_col: str = "n_chars",
+    band_width: int = 10,
+    shingle_n: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs with band-bucketed blocking.
+
+    Candidates are pairs in the same ``block_col`` whose ``size_col``
+    differ by <= ``band_width``. The blocking key is
+    ``(block_col, floor(size_col / band_width))`` with the left side
+    exploded to its ±1 neighbor buckets, so the join is a pure EQUI-join:
+    a pair within band_width always lands in the same or adjacent bucket,
+    and the verify predicate re-checks the exact |Δsize| bound. An
+    inequality-only join within block_col (the round-1 shape) degenerates
+    into a per-block cross product when one block dominates — with a
+    band-bucketed equi-key a skewed block still shuffles into ~size/10
+    disjoint buckets. Each pair is emitted once (only the left side
+    explodes; the right side's own bucket is unique)."""
+    sh = shingles(text_col, shingle_n)
+    base = df.where(
+        F.size(words(F.col(text_col))) >= shingle_n
+    ).select(key_col, block_col, size_col, sh.alias("sh"))
+    bucket = F.floor(F.col(size_col) / band_width)
+    a = base.select(
+        key_col,
+        block_col,
+        size_col,
+        "sh",
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("nb"),
+    ).alias("a")
+    b = base.withColumn("nb", bucket).alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col("a.nb") == F.col("b.nb"))
+        & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        & (
+            F.abs(F.col(f"a.{size_col}") - F.col(f"b.{size_col}"))
+            <= band_width
+        ),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("a.sh", "b.sh"))
+        / F.size(F.array_union("a.sh", "b.sh")),
+        4,
+    )
+    out = pairs.select(
+        F.col(f"a.{key_col}").alias("doc1"),
+        F.col(f"b.{key_col}").alias("doc2"),
+        jac.alias("jaccard"),
+    )
+    if threshold is not None:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash60(text_col: str) -> Column:
+    """60-bit SimHash: per-word portable md5-derived hash, per-bit ±1
+    voting, sign → signature bit. Entirely JVM higher-order functions —
+    zero shuffles, zero Python. Takes a column *name*."""
+    wh = _WORD_HASH60.format(w="w")
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {SIMHASH_BITS - 1}), j ->
+            if(aggregate(
+                 transform(split({text_col}, ' '), w -> {wh}),
+                 0L,
+                 (acc, h) -> acc + if((h >> j) & 1 = 1, 1, -1)
+               ) > 0,
+               shiftleft(1L, j), 0L)),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+
+
 def simhash64(text_col: str) -> Column:
-    """64-bit SimHash: per-word xxhash64, per-bit ±1 voting, sign →
-    signature bit. Entirely JVM higher-order functions — zero shuffles,
-    zero Python. Takes a column *name*."""
+    """64-bit SimHash over per-word xxhash64 — the raw-speed variant
+    (xxhash64 is one JVM intrinsic vs md5's digest); not cross-engine
+    reproducible, so the oracle-checked default is simhash60."""
     col = text_col
     return F.expr(
         f"""
@@ -190,26 +283,55 @@ def simhash_near_dups(
     text_col: str = "text",
     key_col: str = "doc_id",
     max_hamming: int = 3,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup candidates: block on the top-16-bit prefix (docs
-    within small Hamming distance usually share a prefix band), verify
-    Hamming distance via bit_count(xor)."""
-    h = df.select(key_col, simhash64(text_col).alias("sh"))
-    banded = h.withColumn("band", F.expr("shiftright(sh, 48)"))
+    """SimHash near-dup candidates: multi-band blocking + Hamming verify.
+
+    The signature is cut into ``n_bands`` equal bit-bands and docs are
+    candidates iff they share ANY full band (union of band self-joins via
+    band-explode + equi-join on (band, value) — the same shape as MinHash
+    LSH banding, never an all-pairs product). By pigeonhole, a pair with
+    Hamming distance < n_bands is GUARANTEED to share a band, so recall
+    is total for max_hamming <= n_bands - 1; a single prefix band (the
+    round-1 design) missed near-dups whose differing bits straddled the
+    top band. Verification is bit_count(xor) on candidates only."""
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    h = df.select(key_col, simhash60(text_col).alias("sh"))
+    banded = h.select(
+        key_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(sh >> {band_bits * b}) & {mask}"
+                        ).alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, "sh", "bb.band", "bb.bval")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
             & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
         )
-        .withColumn("hamming", F.expr("bit_count(a.sh ^ b.sh)"))
-        .where(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{key_col}").alias("doc1"),
             F.col(f"b.{key_col}").alias("doc2"),
-            "hamming",
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -81,6 +81,119 @@ def test_simhash_near_dups(docs):
     assert found.get((0, 2)) == 0
 
 
+def test_simhash60_matches_python_reference(docs):
+    """simhash60 must equal the portable Python re-derivation bit-for-bit
+    (the same arithmetic the DuckDB oracle states)."""
+    import hashlib
+
+    def h60(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+    def sim(t):
+        ws = t.split(" ")
+        sh = 0
+        for j in range(60):
+            v = sum(1 if (h60(w) >> j) & 1 else -1 for w in ws)
+            if v > 0:
+                sh |= 1 << j
+        return sh
+
+    rows = docs.select(
+        "doc_id", "text", dedup.simhash60("text").alias("sh")
+    ).collect()
+    for r in rows:
+        assert r["sh"] == sim(r["text"]), r["doc_id"]
+
+
+def test_simhash_multiband_recall_is_exact_for_small_hamming(spark):
+    """With 4 bands over 60 bits, every pair at Hamming <= 3 shares a band
+    (pigeonhole), so the banded operator must return EXACTLY the pairs a
+    brute-force all-pairs scan finds — including pairs whose differing
+    bits all sit in the top band (which the round-1 single-prefix-band
+    design missed)."""
+    import hashlib
+    import itertools
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five "
+        "six seven eight nine ten eleven twelve thirteen fourteen fifteen "
+        "sixteen seventeen eighteen nineteen twenty apple pear plum fig "
+        "grape melon lemon lime peach cherry berry mango kiwi date"
+    ).split()
+    texts = {}
+    for i in range(12):
+        words = list(base)
+        if i:
+            words[(7 * i) % len(words)] = f"mut{i}"
+        texts[i] = " ".join(words)
+    texts[100] = texts[0]  # exact dup → Hamming 0, guaranteed pair
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+    def h60(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+    def sim(t):
+        ws = t.split(" ")
+        sh = 0
+        for j in range(60):
+            if sum(1 if (h60(w) >> j) & 1 else -1 for w in ws) > 0:
+                sh |= 1 << j
+        return sh
+
+    sigs = {i: sim(t) for i, t in texts.items()}
+    expected = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(texts), 2)
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 3
+    }
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.simhash_near_dups(df, max_hamming=3).collect()
+    }
+    assert (0, 100) in expected
+    assert got == expected
+
+
+def test_ngram_jaccard_band_blocking_equijoin_and_skew(spark):
+    """The d4 blocking must stay an equi-join (no nested-loop/cartesian)
+    and return exactly the brute-force candidate set even when a single
+    source holds every document (the skew case an inequality-only join
+    degenerates on)."""
+    import itertools
+
+    docs = []
+    for i in range(30):
+        words = [f"tok{j}" for j in range(10)] + [f"x{i}"]
+        t = " ".join(words)
+        docs.append((i, t, "only", len(t)))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars int"
+    )
+    out = dedup.ngram_jaccard_near_dups(df)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+    def sh(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    expected = {}
+    for (i, ti, _, ni), (j, tj, _, nj) in itertools.combinations(docs, 2):
+        if abs(ni - nj) <= 10:
+            expected[(i, j)] = round(len(sh(ti) & sh(tj)) / len(sh(ti) | sh(tj)), 4)
+    got = {(r["doc1"], r["doc2"]): r["jaccard"] for r in out.collect()}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, abs=1e-4)
+
+
 def test_brute_force_topk(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
