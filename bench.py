@@ -89,9 +89,15 @@ def bench_pipeline(spark, webtext_path: str, out_root: str) -> dict:
     ).write.mode("overwrite").partitionBy("sink", "warc_day").parquet(warm_out)
     shutil.rmtree(warm_out, ignore_errors=True)
 
+    from pyspark.sql import Observation
+
     t0 = time.time()
     pages = spark.read.parquet(webtext_path)
     events = enrich(parse_events(pages))
+    # parsed-event count observed during the write job (the routed table
+    # no longer contains no-sink records, so it can't be the denominator)
+    obs = Observation("parsed")
+    events = events.observe(obs, F.count(F.lit(1)).alias("n"))
     flagged = route.sink_flags(events)
     routed = route.with_partition_cols(route.explode_sinks(flagged)).select(
         *P.ROUTED_COLS
@@ -103,11 +109,10 @@ def bench_pipeline(spark, webtext_path: str, out_root: str) -> dict:
         .parquet(os.path.join(out_root, "routed"))
     )
     t_write = time.time()
+    n_parsed = obs.get["n"]
     written = spark.read.parquet(os.path.join(out_root, "routed"))
     P.write_stats(written, out_root)
     elapsed = time.time() - t0
-    # parsed events = distinct records that entered routing
-    n_parsed = written.select("url", "record_no").distinct().count()
     n_routed = written.count()
     return {
         "elapsed_s": round(elapsed, 3),

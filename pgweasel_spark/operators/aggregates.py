@@ -103,39 +103,37 @@ def connections_totals(df: DataFrame) -> DataFrame:
 
 
 def connections_by_dim(df: DataFrame) -> DataFrame:
-    """The four by-dim count maps in one grouping-sets-style pass:
-    host (of received), user/db/appname (of authorized); missing kv →
-    'unknown' (connections.rs:63,86,92,98)."""
+    """The four by-dim count maps — host (of received), user/db/appname
+    (of authorized), missing kv → 'unknown' (connections.rs:63,86,92,98)
+    — in ONE pass: each row explodes to the (dim, value) pairs it
+    contributes to (0, 1 or 3 structs), then a single salted two-phase
+    count. The round-1 shape unioned four scans of the flagged frame;
+    this reads it once and shuffles once. Hosts are the skewed dimension
+    (a few carry ~80% of events at web scale) — the salt bounds any
+    reducer's share of a hot key to ~1/n_salts."""
     f = _conn_flags(df)
-    dims = [
-        ("host", "c_received", "host"),
-        ("user", "c_authorized", "user"),
-        ("database", "c_authorized", "db"),
-        ("appname", "c_authorized", "appname"),
-    ]
-    parts = []
-    for dim_name, flag, col in dims:
-        ids = [c for c in ("url", "record_no") if c in f.columns]
-        keyed = f.where(F.col(flag)).select(
-            *ids,
+
+    def _pair(dim_name: str, col: str):
+        return F.struct(
             F.lit(dim_name).alias("dim"),
             F.coalesce(F.col(col), F.lit("unknown")).alias("value"),
         )
-        if dim_name == "host":
-            # hosts are the skewed dimension (a few carry ~80% of events);
-            # two-phase salted count bounds any reducer's share of a hot
-            # host to ~1/n_salts at 10^12-row scale
-            parts.append(salted_count_by(keyed, ["dim", "value"]))
-        else:
-            parts.append(
-                keyed.groupBy("dim", "value").agg(
-                    F.count(F.lit(1)).alias("cnt")
-                )
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("dim", F.desc("cnt"), "value")
+
+    pairs = F.array_compact(
+        F.array(
+            F.when(F.col("c_received"), _pair("host", "host")),
+            F.when(F.col("c_authorized"), _pair("user", "user")),
+            F.when(F.col("c_authorized"), _pair("database", "db")),
+            F.when(F.col("c_authorized"), _pair("appname", "appname")),
+        )
+    )
+    ids = [c for c in ("url", "record_no") if c in f.columns]
+    keyed = f.select(*ids, F.explode(pairs).alias("dv")).select(
+        *ids, "dv.dim", "dv.value"
+    )
+    return salted_count_by(keyed, ["dim", "value"]).orderBy(
+        "dim", F.desc("cnt"), "value"
+    )
 
 
 def connections_buckets(df: DataFrame, bucket_s: int = 600) -> DataFrame:

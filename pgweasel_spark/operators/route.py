@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pgweasel_spark import grammar
 from pgweasel_spark.functions import extract as X
 
 #: default thresholds from the reference CLI
@@ -33,11 +34,26 @@ def sink_flags(
     df: DataFrame, slow_threshold_ms: float = DEFAULT_SLOW_THRESHOLD_MS
 ) -> DataFrame:
     """Append one boolean per sink family. Requires parse.with_extracted
-    columns. ``stats`` is the connections/system stats family — it admits
-    every Log+ record so the connections aggregator sees the same rows the
-    reference's `connections` run feeds it."""
+    columns.
+
+    ``stats`` admits only the rows its downstream aggregates actually
+    consume: connection-vocabulary records (received/authorized prefixes,
+    FATAL failure needles — connections.rs:38-98) and duration-bearing
+    records (slow_top ranks every extracted duration). The reference's
+    `connections` run *feeds* every Log+ record to the aggregator, but
+    non-matching rows contribute nothing — routing them through the sink
+    was pure write amplification (round-1: routed rows 1.46x parsed
+    events; a corpus-sized cache in write_stats at 100 TB). Aggregate
+    outputs are bit-identical (golden tests below assert so)."""
     ok_ts = F.col("event_ts").isNotNull()
     sev_num = F.col("severity_num")
+    # null message (no ': ' in record) must read as false, not null
+    msg = F.coalesce(F.col("message"), F.lit(""))
+    conn_relevant = (
+        msg.startswith(grammar.CONN_RECEIVED_PREFIX)
+        | msg.startswith(grammar.CONN_AUTHORIZED_PREFIX)
+        | X.is_conn_failure(F.col("raw"), F.col("severity"))
+    )
     # ASCII-folded raw shared by the lock/system literal scans (codegen
     # subexpression elimination collapses the two uses into one pass);
     # ASCII-only folding matches the reference's ascii_case_insensitive
@@ -64,7 +80,12 @@ def sink_flags(
             & (sev_num >= MIN_SEV_LOG)
             & X.is_system(F.col("raw"), lowered=low),
         )
-        .withColumn("sink_stats", ok_ts & (sev_num >= MIN_SEV_LOG))
+        .withColumn(
+            "sink_stats",
+            ok_ts
+            & (sev_num >= MIN_SEV_LOG)
+            & (conn_relevant | F.col("duration_ms").isNotNull()),
+        )
     )
 
 

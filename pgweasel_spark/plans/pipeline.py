@@ -187,17 +187,36 @@ def run(
     sink_counts: dict[str, int] = {}
     total = 0
     if pending:
+        from pyspark.sql import Observation
+
         day_col = F.date_format(F.to_date("warc_ts"), "yyyy-MM-dd")
         batch_pages = pages.where(day_col.isin(pending))
         events = enrich(parse_events(batch_pages))
+        # lineage input-rows (parsed records per day) via an Observation
+        # on the parse output: collected DURING the write job — no second
+        # pass over the 100 TB input, and correct even though the routed
+        # sinks only keep a filtered subset of parsed records. One
+        # conditional count per pending day (bounded by the day batch).
+        obs = Observation("parsed")
+        ev_day = F.date_format(F.to_date("warc_ts"), "yyyy-MM-dd")
+        events = events.observe(
+            obs,
+            *[
+                F.count(F.when(ev_day == d, 1)).alias(f"d{i}")
+                for i, d in enumerate(pending)
+            ],
+        )
         routed = _routed(events, slow_threshold_ms)
         (
             routed.write.mode("overwrite")
             .partitionBy("sink", "warc_day", "host_bucket")
             .parquet(routed_path)
         )
-        # lineage counts from the *written* table (cheap: routed output is
-        # a small fraction of input) — per sink per day
+        in_rows = {
+            d: obs.get[f"d{i}"] for i, d in enumerate(pending)
+        }
+        # per-sink per-day routed counts from the *written* table (cheap:
+        # routed output is a small fraction of input)
         written = spark.read.parquet(routed_path)
         day_str = F.date_format(F.col("warc_day"), "yyyy-MM-dd")
         counts = (
@@ -206,16 +225,6 @@ def run(
             .count()
             .collect()
         )
-        # lineage input-rows: distinct parsed records per day, derived from
-        # the written table (no second pass over the 100 TB input; on a real
-        # cluster this would come from the Iceberg snapshot summary)
-        in_rows = {
-            r["d"]: r["n"]
-            for r in written.where(day_str.isin(pending))
-            .groupBy(day_str.alias("d"))
-            .agg(F.count_distinct("url", "record_no").alias("n"))
-            .collect()
-        }
         per_day: dict[str, dict[str, int]] = {d: {} for d in pending}
         for r in counts:
             per_day[r["d"]][r["sink"]] = r["count"]
