@@ -206,3 +206,38 @@ def test_stateful_error_burst_alerts(spark, tmp_path):
     # threshold semantics
     for r in list(first.values()) + list(second.values()):
         assert r["alert"] == (r["total_errors"] >= 3)
+
+
+def test_zip_source_feeds_pipeline(spark, tmp_path):
+    """S4 zip source (convert_args.rs:163-193): every non-directory
+    member becomes a page; directory entries are skipped; the normal
+    split/extract pipeline runs downstream unchanged."""
+    import zipfile
+
+    from pgweasel_spark.operators.parse import parse_events
+    from pgweasel_spark.sources.webtext import read_zip_logs
+
+    log1 = (
+        "2025-05-22 15:15:09.392 EEST [1] u@db ERROR:  boom\n"
+        "2025-05-22 15:15:09.400 EEST [1] u@db LOG:  ok\n"
+    )
+    log2 = (
+        "2025-05-21 11:00:40.291 UTC [675]: [1-1] db=postgres,user=x,"
+        "host=127.0.0.1 LOG:  duration: 4.053 ms  statement: SELECT\n"
+    )
+    zp = tmp_path / "logs.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("a/one.log", log1)
+        zf.writestr("two.log", log2)
+        zf.writestr("dir/", "")
+    pages = read_zip_logs(spark, str(zp))
+    assert pages.count() == 2
+    rows = parse_events(pages).collect()
+    one = [r for r in rows if r["url"].endswith("one.log")]
+    two = [r for r in rows if r["url"].endswith("two.log")]
+    assert len(one) == 2  # two records in member one.log
+    assert {r["severity"] for r in one} == {"error", "log"}
+    assert len(two) == 1
+    assert two[0]["duration_ms"] == 4.053
+    assert two[0]["user"] == "x"
+    assert two[0]["host"] == "127.0.0.1"
