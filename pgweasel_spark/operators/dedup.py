@@ -361,13 +361,16 @@ def embedding_near_dups(
     )
 
     # precompute each row's norm once — n norm evaluations instead of 2
-    # per pair, which cuts the per-pair work to a single dot product
-    # (arithmetically identical to cosine(): same float multiply, same
-    # cast-to-double, same left-associative sum)
+    # per pair — and cast the vector to array<double> once per ROW:
+    # dot()'s per-element casts then become double→double no-ops that
+    # SimplifyCasts removes, so the per-pair work is a bare multiply-add
+    # fold (arithmetically identical: cast-then-multiply == the
+    # per-element promotion, same left-associative sum)
+    vd = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
+        vd.alias("v"),
+        l2_norm(vd).alias("nrm"),
     )
     if lsh_planes is not None:
         if dim is None:
