@@ -3,7 +3,7 @@
 One logical plan per day batch:
 
   scan (column-pruned: url,warc_ts,lang,text)
-    → mapInPandas record split          (no shuffle)
+    → JVM record split (codegen)        (no shuffle)
     → JVM extraction + enrichment       (no shuffle; broadcast joins)
     → sink flags + explode              (no shuffle)
     → write routed table partitioned by (sink, warc_day, host_bucket)
