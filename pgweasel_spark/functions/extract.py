@@ -193,31 +193,25 @@ def ascii_lower(raw: Column) -> Column:
     )
 
 
-def _any_literal(lowered: Column, patterns: list[str]) -> Column:
-    """OR of ``contains`` over a pre-lowered column — literal multi-pattern
-    match. The reference uses an Aho-Corasick automaton; on the JVM a chain
-    of ``contains`` (intrinsified String.indexOf) beats one big
-    case-insensitive regex alternation, which re-tries every alternative at
-    every position."""
-    expr = lowered.contains(patterns[0].lower())
-    for p in patterns[1:]:
-        expr = expr | lowered.contains(p.lower())
-    return expr
-
-
 def is_lock(raw: Column, lowered: Column | None = None) -> Column:
     """LockingFilter: 17 case-insensitive literals OR case-sensitive
-    ``process [0-9]+ acquired`` (locking_filter.rs:12-83)."""
-    low = ascii_lower(raw) if lowered is None else lowered
-    return _any_literal(low, grammar.LOCK_PATTERNS) | raw.rlike(
-        r"process [0-9]+ acquired"
-    )
+    ``process [0-9]+ acquired`` (locking_filter.rs:12-83), as ONE Java
+    regex alternation. Java's ``(?i:)`` folds ASCII-only (no
+    UNICODE_CASE flag), exactly matching the reference's
+    ascii_case_insensitive Aho-Corasick. A chain of 17+ ``contains``
+    over a translated column was measured 5x SLOWER here — the wide
+    boolean expression tree drops out of whole-stage codegen, while a
+    single compiled regex node stays in it. ``lowered`` is accepted for
+    back-compat and unused."""
+    _ = lowered
+    return raw.rlike(grammar.lock_regex())
 
 
 def is_system(raw: Column, lowered: Column | None = None) -> Column:
-    """SystemFilter: 24 case-insensitive literals (system_filter.rs:12-48)."""
-    low = ascii_lower(raw) if lowered is None else lowered
-    return _any_literal(low, grammar.SYSTEM_PATTERNS)
+    """SystemFilter: 24 case-insensitive literals (system_filter.rs:12-48)
+    as one ASCII-folding Java regex (see is_lock for why not contains)."""
+    _ = lowered
+    return raw.rlike(grammar.system_regex())
 
 
 # --- connections vocabulary (src/aggregators/connections.rs) ---------------

@@ -241,18 +241,34 @@ def ngram_jaccard_near_dups(
 def simhash60(text_col: str) -> Column:
     """60-bit SimHash: per-word portable md5-derived hash, per-bit ±1
     voting, sign → signature bit. Entirely JVM higher-order functions —
-    zero shuffles, zero Python. Takes a column *name*."""
+    zero shuffles, zero Python. Takes a column *name*.
+
+    Shape matters: the fold runs over WORDS with a 60-int vote-array
+    accumulator, so each word is hashed exactly once. (A per-bit outer
+    loop re-evaluates the hash array for every bit — 60x the md5 work;
+    measured 40x slower at sf0.1.) SQL lambdas have no let-binding, so
+    the word hash is bound once via a single-element inner aggregate.
+    ``shiftright(h, j)`` is used as a function: the ``>>`` operator
+    fails to parse inside triple-nested lambdas (Spark parser quirk)."""
     wh = _WORD_HASH60.format(w="w")
+    n = SIMHASH_BITS
     return F.expr(
         f"""
         aggregate(
-          transform(sequence(0, {SIMHASH_BITS - 1}), j ->
-            if(aggregate(
-                 transform(split({text_col}, ' '), w -> {wh}),
-                 0L,
-                 (acc, h) -> acc + if((h >> j) & 1 = 1, 1, -1)
-               ) > 0,
-               shiftleft(1L, j), 0L)),
+          zip_with(
+            aggregate(
+              split({text_col}, ' '),
+              array_repeat(0, {n}),
+              (acc, w) -> aggregate(
+                array({wh}),
+                acc,
+                (a2, h) -> zip_with(a2, sequence(0, {n - 1}),
+                  (v, j) -> v + if(shiftright(h, j) & 1 = 1, 1, -1))
+              )
+            ),
+            sequence(0, {n - 1}),
+            (v, j) -> if(v > 0, shiftleft(1L, j), 0L)
+          ),
           0L, (acc, x) -> acc | x)
         """
     )

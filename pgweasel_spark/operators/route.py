@@ -54,11 +54,6 @@ def sink_flags(
         | msg.startswith(grammar.CONN_AUTHORIZED_PREFIX)
         | X.is_conn_failure(F.col("raw"), F.col("severity"))
     )
-    # ASCII-folded raw shared by the lock/system literal scans (codegen
-    # subexpression elimination collapses the two uses into one pass);
-    # ASCII-only folding matches the reference's ascii_case_insensitive
-    # Aho-Corasick (see extract.ascii_lower)
-    low = X.ascii_lower(F.col("raw"))
     return (
         df.withColumn("is_quarantined", ~ok_ts)
         .withColumn("sink_errors", ok_ts & (sev_num >= MIN_SEV_ERRORS))
@@ -72,13 +67,13 @@ def sink_flags(
             "sink_locks",
             ok_ts
             & (sev_num >= MIN_SEV_LOG)
-            & X.is_lock(F.col("raw"), lowered=low),
+            & X.is_lock(F.col("raw")),
         )
         .withColumn(
             "sink_system",
             ok_ts
             & (sev_num >= MIN_SEV_LOG)
-            & X.is_system(F.col("raw"), lowered=low),
+            & X.is_system(F.col("raw")),
         )
         .withColumn(
             "sink_stats",

@@ -102,6 +102,13 @@ def write_stats(routed: DataFrame, out_root: str) -> None:
     # pruned to exactly the columns the aggregates read (raw stays: the
     # connections failure needles and slow-top output need it; at cluster
     # scale this is a MEMORY_AND_DISK cache of the stats-family sink only)
+    # the routed table is partitioned (sink, warc_day, host_bucket) →
+    # hundreds-to-thousands of small files; read back as-is, the cache
+    # holds one block per file split and EACH of the six jobs schedules
+    # that many tiny tasks (pure scheduler overhead — measured as the
+    # worst-scaling phase of the pipeline). coalesce to ~2 tasks/core
+    # before caching: same bytes, 30x fewer tasks per aggregate job.
+    n_par = routed.sparkSession.sparkContext.defaultParallelism
     routed = (
         routed.where(F.col("sink").isin("errors", "stats"))
         .select(
@@ -118,6 +125,7 @@ def write_stats(routed: DataFrame, out_root: str) -> None:
             "db",
             "appname",
         )
+        .coalesce(max(2 * n_par, 8))
         .cache()
     )
     routed.count()  # materialize once; concurrent jobs then hit the cache
