@@ -137,24 +137,30 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (squared-L2 argmin).
     Centroids are a small broadcast-style literal (n_lists × dim); the
     assignment is a map-only pass — at 10^12 rows this is the IVF
-    build step, writable as a `list_id`-partitioned index table."""
-    best_id, best_d = F.lit(0), None
-    for i, c in enumerate(centroids):
+    build step, writable as a `list_id`-partitioned index table.
+
+    Argmin shape matters: a when-chain that threads best_id/best_d
+    through each step references the previous best TWICE per centroid —
+    an exponentially-sized expression tree (2^n_lists copies of the
+    first distance) that cost seconds of codegen per job. A dists ARRAY
+    + array_position(array_min) is linear; ties keep the first (lowest)
+    list id, same as the strict-< chain."""
+    vd = F.col(vec_col).cast("array<double>")
+    dist_exprs = []
+    for c in centroids:
         arr = F.array(*[F.lit(float(v)) for v in c])
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), arr, lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dist_exprs.append(
+            F.aggregate(
+                F.zip_with(vd, arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
-        if best_d is None:
-            best_d = d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return df.withColumn("list_id", best_id)
+    out = df.withColumn("_dists", F.array(*dist_exprs))
+    return out.withColumn(
+        "list_id",
+        (F.array_position("_dists", F.array_min("_dists")) - 1).cast("int"),
+    ).drop("_dists")
 
 
 def ivf_train_centroids(
@@ -177,7 +183,13 @@ def ivf_train_centroids(
     if sample_mod is not None and sample_mod > 1:
         df = df.where(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
     feats = df.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
+    # random init (seeded): k-means|| runs ~5 extra distributed passes to
+    # seed centroids — the right call for clustering QUALITY on huge
+    # data, pure overhead for a coarse 8-list quantizer on a sample
+    # (measured 3x the fit time for identical planted-neighbor recall)
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=10, initMode="random"
+    ).fit(feats)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
