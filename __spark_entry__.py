@@ -693,14 +693,15 @@ def q_d4_ngram_jaccard(spark, sf_dir):
 
 
 def q_d6_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
-    LSH-bucketed scale path is the same function with lsh_planes set —
-    operators/dedup.py:embedding_near_dups). Threshold 0.4 because the
-    synthetic embeddings top out at cosine ~0.51."""
-    from pgweasel_spark.operators.dedup import embedding_near_dups
+    """Embedding-cosine near-dup pairs, EXACT, via the blocked-GEMM
+    engine (hash-blocked pair groups + per-group numpy GEMM under
+    applyInPandas — ~30x the HOF pair-join, identical round-6 values;
+    the HOF formulation is kept and asserted equal in tests). Threshold
+    0.4 because the synthetic embeddings top out at cosine ~0.51."""
+    from pgweasel_spark.operators.dedup import embedding_near_dups_blocked
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, threshold=0.4)
+    return embedding_near_dups_blocked(e, threshold=0.4)
 
 
 def q_t1_token_stats(spark, sf_dir):

@@ -249,6 +249,33 @@ def test_embedding_near_dups_exact_and_lsh(spark):
     assert (3, 120) in lsh_pairs and (9, 121) in lsh_pairs
 
 
+def test_embedding_near_dups_engines_agree(spark):
+    """The blocked-GEMM exact engine must return the identical pair set
+    and round-6 values as the JVM HOF pair-join."""
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)
+    ]
+    rows.append((150, [v + 0.003 for v in rows[2][1]]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hof = {
+        (r["doc1"], r["doc2"]): r["cosine_sim"]
+        for r in dedup.embedding_near_dups(e, threshold=0.5).collect()
+    }
+    gemm = {
+        (r["doc1"], r["doc2"]): r["cosine_sim"]
+        for r in dedup.embedding_near_dups_blocked(
+            e, threshold=0.5
+        ).collect()
+    }
+    assert set(hof) == set(gemm)
+    assert (2, 150) in gemm
+    for k, v in hof.items():
+        assert gemm[k] == pytest.approx(v, abs=2e-6)
+
+
 def test_textstats(docs):
     out = textstats.quality_features(docs).collect()
     r0 = [r for r in out if r["doc_id"] == 0][0]
