@@ -123,3 +123,52 @@ def test_salted_count_matches_plain_and_is_two_phase(spark, webtext_dir):
     got = {r["value"]: r["cnt"] for r in salted.collect()}
     assert got == plain
     assert _plan(salted).count("Exchange") >= 2
+
+
+def test_simhash_band_join_is_equijoin(spark):
+    """d5b's multi-band candidate join must be a hash/merge EQUI-join on
+    (band, bval) — never a nested-loop over all pairs."""
+    from pgweasel_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(dedup.simhash_near_dups(df, max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_blocked_gemm_plan_single_pandas_group(spark):
+    """The exact blocked-GEMM engine is one explode + one grouped-pandas
+    node — no pair-join at all, and only the groupBy exchange."""
+    from pgweasel_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(dedup.embedding_near_dups_blocked(df, threshold=0.9))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_lock_system_filters_stay_in_codegen(spark, webtext_dir):
+    """The single-regex lock/system predicates must not break the
+    routing stage out of whole-stage codegen (the 17/24-contains chains
+    did — measured 5x slower)."""
+    ev = enrich(parse_events(spark.read.parquet(webtext_dir)))
+    routed = route.explode_sinks(route.sink_flags(ev))
+    routed.collect()  # AQE only finalizes codegen markers after execution
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # codegen'd stages print as "*(n) Project/Filter/..."; the sink-flag
+    # Project (which carries the RLIKE predicates) must be starred
+    assert "*(" in plan
+    assert "RLIKE(raw" in plan
+    import re as _re
+
+    m = _re.search(r"([^\n]*)RLIKE\(raw", plan)
+    assert m and "*(" in m.group(1), m.group(0) if m else plan
