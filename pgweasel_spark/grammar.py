@@ -260,7 +260,11 @@ def extract_after_needle(record: str, needle: str) -> str | None:
         return None
     start = pos + len(needle)
     if start >= len(record):
-        return record[start:]  # degenerate: needle at end → empty value
+        # degenerate: needle at end of record. The REFERENCE PANICS here
+        # (end = start+1 then &record[start..end] slices out of bounds,
+        # src/format/mod.rs:56-64); we yield no-value instead, matching
+        # the JVM expression (regex requires >= 1 char after the needle).
+        return None
     end = start + 1
     n = len(record)
     while end < n and record[end] not in (" ", ",", '"'):

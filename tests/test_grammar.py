@@ -322,3 +322,10 @@ def test_connection_failure():
         "LOG:  password authentication failed", "log"
     )
     assert not g.connection_failure("FATAL:  out of memory", "fatal")
+
+
+def test_kv_needle_at_end_of_record_is_none():
+    # the reference PANICS on a needle at end-of-record (out-of-bounds
+    # slice, src/format/mod.rs:56-64); both our layers yield no-value —
+    # the fuzz sweep (test_fuzz_extract.py) pins kernel ≡ JVM here
+    assert g.extract_after_needle("x host=", "host=") is None
