@@ -193,6 +193,69 @@ def ivf_train_centroids(
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
+def ivf_build_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the corpus with its list assignment,
+    written partitioned by ``list_id``. At 10^12 rows this is the
+    one-time build; every query then scans only its probed lists via
+    partition pruning (asserted in tests), not the corpus."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF index: rank centroids driver-side (tiny),
+    read ONLY the n_probe nearest lists (list_id partition pruning at
+    the scan), brute-force within them."""
+    dists = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (a - b) ** 2 for a, b in zip(centroids[i], query_vec)
+        ),
+    )
+    probe = dists[:n_probe]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    cands = spark.read.parquet(path).where(F.col("list_id").isin(probe))
+    return (
+        cands.select(
+            id_col,
+            F.round(cosine(F.col(vec_col), qcol), 6).alias("cosine_sim"),
+            "list_id",
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_build_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH index: corpus + sign-pattern bucket, written
+    partitioned by ``bucket`` — the persisted form of lsh_ann_topk's
+    bucketing, giving partition-pruned single-bucket scans per query."""
+    bucketed = df.withColumn(
+        "bucket", lsh_bucket(vec_col, n_planes=n_planes, dim=dim)
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query_vec_id: int,

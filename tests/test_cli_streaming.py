@@ -241,3 +241,41 @@ def test_zip_source_feeds_pipeline(spark, tmp_path):
     assert two[0]["duration_ms"] == 4.053
     assert two[0]["user"] == "x"
     assert two[0]["host"] == "127.0.0.1"
+
+
+def test_error_rate_stream_matches_batch(spark, webtext_dir):
+    """The windowed streaming error-rate aggregation must equal the
+    identical batch computation over the same input (complete mode, so
+    the watermark cannot drop finalized windows on bounded data)."""
+    from pyspark.sql import functions as F
+
+    from pgweasel_spark.operators.parse import parse_events
+    from pgweasel_spark.streaming import stream
+
+    pages = stream.read_webtext_stream(spark, webtext_dir)
+    rates = stream.error_rate_stream(pages)
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rates_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["start"]), str(r["end"]), r["severity"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM rates_mem").collect()
+    }
+    ev = parse_events(spark.read.parquet(webtext_dir))
+    batch = (
+        ev.where(F.col("event_ts").isNotNull())
+        .groupBy(F.window("event_ts", "10 minutes").alias("w"), "severity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("w.start", "w.end", "severity", "cnt")
+    )
+    expected = {
+        (str(r["start"]), str(r["end"]), r["severity"]): r["cnt"]
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert len(expected) > 5
