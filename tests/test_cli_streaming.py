@@ -279,3 +279,60 @@ def test_error_rate_stream_matches_batch(spark, webtext_dir):
     }
     assert got == expected
     assert len(expected) > 5
+
+
+def test_spark_submit_pyfiles_job(tmp_path):
+    """North-rule ship path: the packaged zip + jobs/run_pipeline.py must
+    run under real spark-submit --py-files (fresh JVM, package imported
+    from the archive), process pending days, and resume (second run
+    skips them)."""
+    import json
+    import subprocess
+    import sys
+
+    from pgweasel_spark.gen import write_webtext
+    from tools.package_pyfiles import build
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(cli.__file__)))
+    zip_path = build(str(tmp_path / "pgweasel_spark.zip"))
+    indir = str(tmp_path / "wt")
+    write_webtext(indir, n_pages=20, seed=3)
+    out = str(tmp_path / "out")
+    spark_submit = os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not available")
+    env = dict(os.environ)
+    env["SPARK_MASTER"] = "local[4]"
+    env["PYSPARK_PYTHON"] = sys.executable
+
+    def submit():
+        r = subprocess.run(
+            [
+                spark_submit,
+                "--py-files",
+                zip_path,
+                os.path.join(repo, "jobs", "run_pipeline.py"),
+                "--input",
+                indir,
+                "--out",
+                out,
+                "--no-stats",
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    first = submit()
+    assert first["days_processed"] and first["total_events"] > 0
+    second = submit()
+    assert second["days_processed"] == []  # manifest resume: all skipped
+    assert sorted(second["days_skipped"]) == sorted(
+        first["days_processed"] + first["days_skipped"]
+    )
