@@ -704,6 +704,29 @@ def q_d6_embed_neardup(spark, sf_dir):
     return embedding_near_dups_blocked(e, threshold=0.4)
 
 
+def q_d7_chunk_dup(spark, sf_dir):
+    """Chunk-level dup statistics (Dolma/CCNet-style): per doc, the
+    fraction of its non-overlapping 10-word chunks whose hash occurs
+    more than once corpus-wide — the input signal for drop/strip
+    dedup policies. Two shuffles, both on uniform md5 chunk hashes."""
+    from pgweasel_spark.operators.dedup import chunk_dup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_dup_stats(d).orderBy("doc_id")
+
+
+def q_d8_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct 8-gram overlap between each
+    corpus doc and a benchmark set (here: docs 0-9 stand in for the
+    eval suite), via broadcast join on the n-gram hash — the standard
+    n-gram-collision contamination check for training data."""
+    from pgweasel_spark.operators.dedup import decontaminate_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 10)
+    return decontaminate_overlap(d, bench).orderBy("doc_id")
+
+
 def q_t1_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + mean token length."""
     d = _t(spark, sf_dir, "documents")
@@ -917,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5b_simhash_neardup": q_d5b_simhash_neardup,
         "d6_embed_neardup": q_d6_embed_neardup,
         "d6b_embed_neardup_lsh": q_d6b_embed_neardup_lsh,
+        "d7_chunk_dup": q_d7_chunk_dup,
+        "d8_decontaminate": q_d8_decontaminate,
         "t1_token_stats": q_t1_token_stats,
         "t2_quality": q_t2_quality,
         "t3_langid": q_t3_langid,
@@ -979,6 +1004,12 @@ def _duck_lsh_bucket(n_planes: int, dim: int, vcol: str = "v") -> str:
         )
     return " + ".join(terms)
 
+
+#: 8-word gram for the d8 oracle (1-based list indexing, i bound by the
+#: enclosing list comprehension)
+_DUCK_8GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(8)).replace(
+    "w[i+0]", "w[i]"
+)
 
 _SHINGLES_CTE = """
     WITH base AS (
@@ -1286,6 +1317,44 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
             ORDER BY 1, 2
+        """,
+        "d7_chunk_dup": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), ch AS (
+              SELECT doc_id,
+                     unnest([md5(array_to_string(w[(i*10+1):(i*10+10)], ' '))
+                             for i in range(0, len(w) // 10)]) AS ch
+              FROM w WHERE len(w) >= 10
+            ), cnt AS (
+              SELECT ch, COUNT(*) AS ch_cnt FROM ch GROUP BY 1
+            )
+            SELECT doc_id, COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN ch_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_chunks,
+                   round(SUM(CASE WHEN ch_cnt > 1 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
+            FROM ch JOIN cnt USING (ch)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "d8_decontaminate": f"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              -- per-doc grams are list_distinct'd, so (doc_id, gh) rows
+              -- are already unique per doc
+              SELECT doc_id,
+                     unnest(list_distinct([md5({_DUCK_8GRAM})
+                                           for i in range(1, len(w) - 6)]))
+                       AS gh
+              FROM w WHERE len(w) >= 8
+            ), bg AS (
+              SELECT DISTINCT gh FROM g WHERE doc_id < 10
+            )
+            SELECT doc_id, COUNT(*) AS n_overlap,
+                   COUNT(*) > 0 AS contaminated
+            FROM g JOIN bg USING (gh)
+            GROUP BY 1 ORDER BY 1
         """,
         "t1_token_stats": """
             SELECT doc_id,

@@ -165,6 +165,80 @@ def minhash_dedup(
     )
 
 
+def chunk_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Paragraph/chunk-level dup statistics (Dolma/CCNet-style): cut each
+    doc into non-overlapping ``chunk_words``-word chunks, count each
+    chunk hash corpus-wide, and report per doc how much of it is
+    duplicated elsewhere. The downstream policy (drop docs with
+    dup_ratio > t, or strip the duplicated chunks) stays with the
+    caller.
+
+    Scale shape: explode → count on the (uniform) chunk hash → hash join
+    back → per-doc agg. Two shuffles, both on uniform md5 keys; no
+    skew, no pair joins."""
+    w = words(F.col(text_col))
+    chunks = F.expr(
+        f"transform(sequence(0, cast(size(split({text_col}, ' ')) / {chunk_words} as int) - 1),"
+        f" i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i * {chunk_words} + 1, {chunk_words}))))"
+    )
+    ex = df.where(F.size(w) >= chunk_words).select(
+        key_col, F.explode(chunks).alias("ch")
+    )
+    counts = ex.groupBy("ch").agg(F.count(F.lit(1)).alias("ch_cnt"))
+    joined = ex.join(counts, "ch")
+    return (
+        joined.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("ch_cnt") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4),
+        )
+    )
+
+
+def decontaminate_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ngram_words: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the number of distinct
+    ``ngram_words``-grams it shares with a benchmark/eval set (the
+    standard n-gram-collision contamination check for training data).
+
+    The benchmark n-gram set is small by construction (eval suites are
+    thousands of docs, the corpus is 10^12) → broadcast hash join on the
+    n-gram hash; the corpus side is a map-only explode, no corpus
+    shuffle before the per-doc count."""
+    sh = shingles(text_col, ngram_words)
+    bench_grams = (
+        benchmark.where(F.size(words(F.col(text_col))) >= ngram_words)
+        .select(F.explode(sh).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    corpus = df.where(
+        F.size(words(F.col(text_col))) >= ngram_words
+    ).select(key_col, F.explode(F.array_distinct(sh)).alias("g"))
+    hits = corpus.select(key_col, F.md5("g").alias("gh")).join(
+        F.broadcast(bench_grams), "gh"
+    )
+    return (
+        hits.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+
+
 #: SQL fragment: engine-portable 60-bit word hash — the top 15 hex chars
 #: of md5 as an integer. Same scheme as the minhash signatures (seeded
 #: md5): DuckDB can state the identical value, so the simhash operator is

@@ -367,3 +367,47 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert by_key[(0, 0)]["frame"] != by_key[(0, 1)]["frame"]
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(df, "payload", "media_id", decoder="real")
+
+
+def test_chunk_dup_stats(spark):
+    """Planted chunk sharing: doc 1 repeats doc 0's first 10-word chunk;
+    doc 2 is fully unique. Ratios must match the brute-force count."""
+    c0 = " ".join(f"a{i}" for i in range(10))
+    c1 = " ".join(f"b{i}" for i in range(10))
+    c2 = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (0, f"{c0} {c1}"),   # chunks: c0, c1
+        (1, f"{c0} {c2}"),   # chunks: c0 (dup), c2
+        (2, " ".join(f"z{i}" for i in range(20))),  # unique chunks
+        (3, "too short"),    # < 10 words → excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.chunk_dup_stats(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_chunks"] == 2 and out[0]["n_dup_chunks"] == 1
+    assert out[0]["dup_ratio"] == pytest.approx(0.5)
+    assert out[1]["n_dup_chunks"] == 1
+    assert out[2]["n_dup_chunks"] == 0 and out[2]["dup_ratio"] == 0.0
+
+
+def test_decontaminate_overlap(spark):
+    """A doc copying an 8-gram from the benchmark must be flagged; an
+    unrelated doc must be absent; the gram join must be a broadcast."""
+    bench_text = " ".join(f"e{i}" for i in range(12))
+    rows = [
+        (0, bench_text),                                  # the benchmark doc
+        (1, "x0 x1 " + " ".join(f"e{i}" for i in range(8)) + " x2"),
+        (2, " ".join(f"q{i}" for i in range(15))),        # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.where(F.col("doc_id") == 0)
+    out = dedup.decontaminate_overlap(df, bench)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert 1 in got and got[1]["contaminated"]
+    assert got[1]["n_overlap"] == 1
+    assert 2 not in got
+    assert 0 in got  # the benchmark doc trivially overlaps itself
