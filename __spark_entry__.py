@@ -865,7 +865,9 @@ def q_d5b_simhash_neardup(spark, sf_dir):
     from pgweasel_spark.operators.dedup import simhash_near_dups
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=8).orderBy("doc1", "doc2")
+    return simhash_near_dups(
+        d, max_hamming=8, allow_partial_recall=True
+    ).orderBy("doc1", "doc2")
 
 
 def q_e3_ivf_ann(spark, sf_dir):

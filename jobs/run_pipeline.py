@@ -15,9 +15,12 @@ Package + submit:
 Under spark-submit the session master/deploy settings come from the
 submit command; this script only sets the pipeline's correctness/scale
 confs (UTC, AQE, dynamic overwrite, ...) via the shared factory, which
-respects an already-configured master. Resumability is inherent: the
-manifest under --out skips completed days, so re-submitting a killed
-job continues where it died.
+leaves the builder's master untouched whenever the launcher configured
+one (see session.get_spark — an unconditional builder.master() would
+override --master and run the job driver-local). The effective master
+is echoed in the output JSON so a mis-submitted job is visible.
+Resumability is inherent: the manifest under --out skips completed
+days, so re-submitting a killed job continues where it died.
 """
 
 from __future__ import annotations
@@ -56,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     print(
         json.dumps(
             {
+                "master": spark.conf.get("spark.master"),
                 "days_processed": res.days_processed,
                 "days_skipped": res.days_skipped,
                 "total_events": res.total_events,

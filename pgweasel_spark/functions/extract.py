@@ -180,19 +180,6 @@ def duration_ms(raw: Column) -> Column:
 # --- lock / system routing predicates (src/filters/) -----------------------
 
 
-def ascii_lower(raw: Column) -> Column:
-    """ASCII-only case folding — matches the reference's
-    ``ascii_case_insensitive`` Aho-Corasick (locking_filter.rs:81,
-    system_filter.rs:46). ``F.lower`` applies full Unicode folding (e.g.
-    the Kelvin sign K lowercases to 'k'), which would admit matches the
-    reference rejects on non-ASCII input."""
-    return F.translate(
-        raw,
-        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
-        "abcdefghijklmnopqrstuvwxyz",
-    )
-
-
 def is_lock(raw: Column, lowered: Column | None = None) -> Column:
     """LockingFilter: 17 case-insensitive literals OR case-sensitive
     ``process [0-9]+ acquired`` (locking_filter.rs:12-83), as ONE Java

@@ -381,7 +381,9 @@ _PROCESS_ACQUIRED_RE = re.compile(r"process [0-9]+ acquired")
 
 #: re.ASCII keeps (?i) folding ASCII-only, matching the reference's
 #: ``ascii_case_insensitive`` Aho-Corasick builder (locking_filter.rs:81,
-#: system_filter.rs:46) and the Spark-side extract.ascii_lower.
+#: system_filter.rs:46) and Java's default (?i) folding in the Spark-side
+#: rlike (extract.is_lock/is_system) — Java needs UNICODE_CASE for
+#: anything beyond ASCII, which we never enable.
 _LOCK_RE = re.compile(
     "(?i:" + "|".join(re.escape(p) for p in LOCK_PATTERNS) + ")", re.ASCII
 )

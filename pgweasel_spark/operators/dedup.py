@@ -226,9 +226,10 @@ def decontaminate_overlap(
         .select(F.md5("g").alias("gh"))
         .distinct()
     )
+    # shingles() already returns a distinct array per doc
     corpus = df.where(
         F.size(words(F.col(text_col))) >= ngram_words
-    ).select(key_col, F.explode(F.array_distinct(sh)).alias("g"))
+    ).select(key_col, F.explode(sh).alias("g"))
     hits = corpus.select(key_col, F.md5("g").alias("gh")).join(
         F.broadcast(bench_grams), "gh"
     )
@@ -374,6 +375,7 @@ def simhash_near_dups(
     key_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """SimHash near-dup candidates: multi-band blocking + Hamming verify.
 
@@ -384,7 +386,18 @@ def simhash_near_dups(
     Hamming distance < n_bands is GUARANTEED to share a band, so recall
     is total for max_hamming <= n_bands - 1; a single prefix band (the
     round-1 design) missed near-dups whose differing bits straddled the
-    top band. Verification is bit_count(xor) on candidates only."""
+    top band. Verification is bit_count(xor) on candidates only.
+
+    For max_hamming >= n_bands the result is banded-CANDIDATE semantics
+    (a qualifying pair may share no band and be silently absent); that
+    recall trade must be opted into with ``allow_partial_recall=True``
+    — the same deal as MinHash banding."""
+    if max_hamming > n_bands - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"total recall needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands}); raise n_bands or pass "
+            "allow_partial_recall=True for banded-candidate semantics"
+        )
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
     h = df.select(key_col, simhash60(text_col).alias("sh"))

@@ -22,11 +22,26 @@ def get_spark(
     shuffle_partitions: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """Master resolution order: explicit ``master`` arg > SPARK_MASTER
+    env > the launcher's configuration (spark-submit --master /
+    spark-defaults) > local[$SPARK_GRAFT_CPUS]. Calling
+    ``builder.master()`` unconditionally would OVERRIDE spark-submit's
+    --master and silently run cluster jobs on the driver in local mode;
+    a launcher-started driver is detected by the py4j gateway env
+    (PYSPARK_GATEWAY_PORT), in which case the builder's master is left
+    alone. (SparkConf() can't be probed for spark.master here — before
+    gateway init it is a plain Python dict that never sees the
+    launcher's JVM system properties.)"""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if master is None:
+        master = os.environ.get("SPARK_MASTER")
+        if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+            master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # Correctness: naive log timestamps are interpreted in the session
         # timezone; pin UTC so bucket boundaries and golden counts are
         # environment-independent (SURVEY.md §7 "hard parts").

@@ -304,13 +304,17 @@ def test_spark_submit_pyfiles_job(tmp_path):
     if not os.path.exists(spark_submit):
         pytest.skip("spark-submit not available")
     env = dict(os.environ)
-    env["SPARK_MASTER"] = "local[4]"
+    # the submit-provided --master must win: no env override here, and
+    # the job echoes the effective master for the assertion below
+    env.pop("SPARK_MASTER", None)
     env["PYSPARK_PYTHON"] = sys.executable
 
     def submit():
         r = subprocess.run(
             [
                 spark_submit,
+                "--master",
+                "local[4]",
                 "--py-files",
                 zip_path,
                 os.path.join(repo, "jobs", "run_pipeline.py"),
@@ -330,6 +334,7 @@ def test_spark_submit_pyfiles_job(tmp_path):
         return json.loads(line)
 
     first = submit()
+    assert first["master"] == "local[4]"  # submit's --master respected
     assert first["days_processed"] and first["total_events"] > 0
     second = submit()
     assert second["days_processed"] == []  # manifest resume: all skipped

@@ -76,9 +76,14 @@ def test_simhash(docs):
 
 
 def test_simhash_near_dups(docs):
-    pairs = dedup.simhash_near_dups(docs, max_hamming=16).collect()
+    pairs = dedup.simhash_near_dups(
+        docs, max_hamming=16, allow_partial_recall=True
+    ).collect()
     found = {(r["doc1"], r["doc2"]): r["hamming"] for r in pairs}
     assert found.get((0, 2)) == 0
+    # total recall past the band guarantee must be an explicit opt-in
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dups(docs, max_hamming=16)
 
 
 def test_simhash60_matches_python_reference(docs):

@@ -142,6 +142,8 @@ def write_report(raw: dict):
         p_lo["parse_route_write_s"] / p_hi["parse_route_write_s"]
     ) / factor
     stats_eff = (p_lo["stats_s"] / p_hi["stats_s"]) / factor
+    # normalize against the pure-CPU control of the SAME window
+    hw_window = {(2, 8): hw_2_8, (8, 32): hw_8_32}.get((lo, hi), hw_2_8)
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
 Target (BASELINE.json): throughput scaling efficiency >= 0.8 from N to 4N
@@ -179,7 +181,7 @@ load varies >2x run-to-run; see all-runs columns).
 | local[{hi}] (4N) | {r_hi["pipeline"]["elapsed_s"]} | {r_hi["pipeline"]["parse_route_write_s"]} | {r_hi["pipeline"]["stats_s"]} | {t_hi} | {[r["value"] for r in runs[hi]]} |
 
 **speedup {lo}→{hi} cores: {t_hi / t_lo:.2f}x; scaling efficiency: {eff:.3f}**
-(hardware-normalized: {eff / hw_2_8:.3f} of what the pure-CPU control
+(hardware-normalized: {eff / hw_window:.3f} of what the pure-CPU control
 itself achieved on this window's {lo}→{hi} pair)
 
 ## Phase decomposition (best runs)
