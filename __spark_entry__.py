@@ -798,6 +798,16 @@ def q_t4_fingerprint(spark, sf_dir):
     )
 
 
+def q_t5_repetition(spark, sf_dir):
+    """Gopher-style repetition gates: per doc, top-2-gram occupancy and
+    duplicated-2-gram occupancy — explode → per-(doc,gram) count →
+    per-doc aggregate, uniform keys both shuffles."""
+    from pgweasel_spark.operators.textstats import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).orderBy("doc_id")
+
+
 def q_e1_cosine_all(spark, sf_dir):
     """Embedding cosine similarity vs a query vector (vec_id=0),
     brute-force over all rows (the ANN baseline; no selection boundary
@@ -948,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_quality": q_t2_quality,
         "t3_langid": q_t3_langid,
         "t4_fingerprint": q_t4_fingerprint,
+        "t5_repetition": q_t5_repetition,
         "e1_cosine_all": q_e1_cosine_all,
         "e2_lsh_ann": q_e2_lsh_ann,
         "e3_ivf_ann": q_e3_ivf_ann,
@@ -1401,6 +1412,25 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(string_split(text, ' ')[1:10], ' '))
                      AS fingerprint
             FROM documents
+        """,
+        "t5_repetition": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS g
+              FROM w WHERE len(w) >= 2
+            ), pg AS (
+              SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   round(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4)
+                     AS top_gram_frac,
+                   round(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                         / CAST(SUM(cnt) AS DOUBLE), 4) AS dup_gram_frac
+            FROM pg GROUP BY 1 ORDER BY 1
         """,
         "e1_cosine_all": """
             WITH ed AS (

@@ -84,3 +84,56 @@ def fingerprint(text: Column, n_prefix_tokens: int = 10) -> Column:
     """Prefix-token fingerprint (cheap rolling-hash stand-in; md5 of the
     normalized first-N-token window)."""
     return F.md5(F.concat_ws(" ", F.slice(words(text), 1, n_prefix_tokens)))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    gram_words: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals: per doc, the fraction of word
+    n-gram occurrences taken by the single most frequent n-gram
+    (``top_gram_frac``) and the fraction of occurrences whose n-gram
+    appears more than once (``dup_gram_frac``) — the standard gates for
+    boilerplate / degenerate repetition in training corpora.
+
+    Shape: explode ALL (non-distinct) grams → count per (doc, gram) →
+    per-doc aggregate. Two shuffles on uniform keys; the per-doc group
+    is bounded by the doc's own length, so no skew beyond document size
+    (which the quality length gate already bounds upstream)."""
+    w = words(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {gram_words}),"
+        " i -> concat_ws(' ', "
+        + ", ".join(
+            f"split({text_col}, ' ')[i+{j}]" for j in range(gram_words)
+        )
+        + "))"
+    )
+    ex = df.where(F.size(w) >= gram_words).select(
+        key_col, F.explode(grams).alias("g")
+    )
+    per_gram = ex.groupBy(key_col, "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_gram.groupBy(key_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("_top"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "_dup"
+            ),
+        )
+        .select(
+            key_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(F.col("_top") / F.col("n_grams"), 4).alias(
+                "top_gram_frac"
+            ),
+            F.round(F.col("_dup") / F.col("n_grams"), 4).alias(
+                "dup_gram_frac"
+            ),
+        )
+    )

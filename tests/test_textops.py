@@ -416,3 +416,23 @@ def test_decontaminate_overlap(spark):
     assert got[1]["n_overlap"] == 1
     assert 2 not in got
     assert 0 in got  # the benchmark doc trivially overlaps itself
+
+
+def test_repetition_stats(spark):
+    """Planted repetition: 'a b a b a b' has 5 bigrams — 'a b' x3,
+    'b a' x2 — so top=3/5 and all occurrences are duplicated; a
+    no-repeat doc scores 1/n and 0."""
+    rows = [
+        (0, "a b a b a b"),
+        (1, "u v w x y z"),
+        (2, "solo"),  # < 2 words → excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_grams"] == 5
+    assert out[0]["top_gram_frac"] == pytest.approx(0.6)
+    assert out[0]["dup_gram_frac"] == pytest.approx(1.0)
+    assert out[1]["n_grams"] == 5
+    assert out[1]["top_gram_frac"] == pytest.approx(0.2)
+    assert out[1]["dup_gram_frac"] == 0.0
