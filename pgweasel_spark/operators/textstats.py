@@ -102,17 +102,16 @@ def repetition_stats(
     per-doc aggregate. Two shuffles on uniform keys; the per-doc group
     is bounded by the doc's own length, so no skew beyond document size
     (which the quality length gate already bounds upstream)."""
-    w = words(F.col(text_col))
+    # pre-split into an attribute column so the gram lambda slices an
+    # existing array instead of re-splitting the text per element
     grams = F.expr(
-        f"transform(sequence(0, size(split({text_col}, ' ')) - {gram_words}),"
-        " i -> concat_ws(' ', "
-        + ", ".join(
-            f"split({text_col}, ' ')[i+{j}]" for j in range(gram_words)
-        )
-        + "))"
+        f"transform(sequence(0, size(_w) - {gram_words}),"
+        f" i -> concat_ws(' ', slice(_w, i + 1, {gram_words})))"
     )
-    ex = df.where(F.size(w) >= gram_words).select(
-        key_col, F.explode(grams).alias("g")
+    ex = (
+        df.select(key_col, words(F.col(text_col)).alias("_w"))
+        .where(F.size("_w") >= gram_words)
+        .select(key_col, F.explode(grams).alias("g"))
     )
     per_gram = ex.groupBy(key_col, "g").agg(
         F.count(F.lit(1)).alias("cnt")
