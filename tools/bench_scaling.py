@@ -197,16 +197,20 @@ tail that no core count absorbs on one machine; on a real cluster the
 phase is a rounding error against a 100 TB spine (its input is the
 routed sink, orders of magnitude smaller than the corpus).
 
-## Round-over-round honesty note
+## Measurement-window honesty note
 
-Round 2 capped the `stats` sink to the rows its aggregates consume
-(routed rows now < parsed events; round 1 wrote 1.46x amplification).
-That deleted a chunk of well-parallelized-but-wasted write work: the
-N-core run got FASTER in absolute terms while the 4N run (bounded by
-the fixed tail + single-box memory/disk) stayed the same, so measured
-efficiency moved from ~0.80 toward ~0.75 even though every absolute
-number improved or held. Efficiency is reported against the faster
-pipeline — not recovered by re-adding wasted work.
+Identical code measured in different windows of this shared VM spans a
+WIDE efficiency range — round 2 observed 0.72 → 0.90 across four full
+protocol runs (raw JSON committed for each), driven by bursty
+background steal that hits the two levels asymmetrically (a suppressed
+N level inflates efficiency; a suppressed 4N level deflates it — the
+all-runs columns above show the spread). Read the number with the
+pure-CPU calibration of the same window, and treat the cross-window
+range, not any single run, as the measurement. Structural changes this
+round cut both ways honestly: capping the `stats` sink removed 1.46x
+write amplification (faster at BOTH levels, smaller parallel fraction)
+and moving the routing filters into codegen'd regexes sped the spine;
+efficiency is reported against the current, faster pipeline.
 
 Notes:
 - the pipeline is the full spine: scan → JVM record split (codegen) →
