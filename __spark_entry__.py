@@ -808,6 +808,44 @@ def q_t5_repetition(spark, sf_dir):
     return repetition_stats(d).orderBy("doc_id")
 
 
+def q_t6_pii_scrub(spark, sf_dir):
+    """PII detection + scrubbing (emails / IPv4 → typed placeholders),
+    map-only regex pass; PII is planted deterministically (documents
+    carry none) and the oracle restates the identical RE2/Java-
+    compatible regexes, comparing counts + scrubbed-text md5."""
+    from pgweasel_spark.operators.textstats import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    pii = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10.1."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".7 port 5432"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    out = pii_scrub(d.select("doc_id", pii.alias("text")))
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
 def q_e1_cosine_all(spark, sf_dir):
     """Embedding cosine similarity vs a query vector (vec_id=0),
     brute-force over all rows (the ANN baseline; no selection boundary
@@ -959,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_langid": q_t3_langid,
         "t4_fingerprint": q_t4_fingerprint,
         "t5_repetition": q_t5_repetition,
+        "t6_pii_scrub": q_t6_pii_scrub,
         "e1_cosine_all": q_e1_cosine_all,
         "e2_lsh_ann": q_e2_lsh_ann,
         "e3_ivf_ann": q_e3_ivf_ann,
@@ -1431,6 +1470,31 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
                          / CAST(SUM(cnt) AS DOUBLE), 4) AS dup_gram_frac
             FROM pg GROUP BY 1 ORDER BY 1
+        """,
+        "t6_pii_scrub": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 3 = 0 THEN text || ' contact: u'
+                            || doc_id || '@example.com now'
+                       WHEN doc_id % 3 = 1 THEN text || ' from 10.1.'
+                            || (doc_id % 200) || '.7 port 5432'
+                       ELSE text
+                     END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'))
+                     AS scrubbed_md5
+            FROM p ORDER BY doc_id
         """,
         "e1_cosine_all": """
             WITH ed AS (

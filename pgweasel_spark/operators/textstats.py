@@ -136,3 +136,32 @@ def repetition_stats(
             ),
         )
     )
+
+
+#: PII patterns — RE2/Java-compatible subset so the DuckDB oracle can
+#: state the identical expressions
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + scrubbing (emails, IPv4s): per-doc match counts
+    and the text with matches replaced by typed placeholders — the
+    standard pre-training privacy pass. Map-only (two codegen'd regex
+    nodes per row), no shuffle; at 100 TB this pipelines into the scan
+    like every other extraction."""
+    t = F.col(text_col)
+    return df.select(
+        key_col,
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ).alias("scrubbed"),
+    )

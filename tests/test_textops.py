@@ -436,3 +436,19 @@ def test_repetition_stats(spark):
     assert out[1]["n_grams"] == 5
     assert out[1]["top_gram_frac"] == pytest.approx(0.2)
     assert out[1]["dup_gram_frac"] == 0.0
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (0, "mail me at a.b+c@ex-ample.org or 192.168.0.1 thanks"),
+        (1, "no pii here at all"),
+        (2, "two mails x@y.io z@w.dev and ip 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.pii_scrub(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_ipv4"] == 1
+    assert out[0]["scrubbed"] == "mail me at <EMAIL> or <IP> thanks"
+    assert out[1]["n_emails"] == 0 and out[1]["scrubbed"] == rows[1][1]
+    assert out[2]["n_emails"] == 2 and out[2]["n_ipv4"] == 1
+    assert "<EMAIL>" in out[2]["scrubbed"]
+    assert "@" not in out[2]["scrubbed"]
