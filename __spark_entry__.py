@@ -930,17 +930,37 @@ def q_d5b_simhash_neardup(spark, sf_dir):
     ).orderBy("doc1", "doc2")
 
 
+#: e3's frozen IVF coarse quantizer: fixed-seed (42) k-means on the
+#: deterministic 1/4 hash sample of the sf0.01 embeddings, generated by
+#: tools/train_e3_centroids.py (training is iterative and therefore not
+#: SQL-expressible; freezing the centroids makes the probe phase fully
+#: oracle-checkable, mirroring production IVF where the quantizer is
+#: trained once on a sample and reused unchanged).
+E3_CENTROIDS = [
+    [0.031075289170257748, 0.13992265556007624, 0.052877329383045436, 0.021964737959206105, -0.020278222532942893, 0.12686764523386956, 0.06195928105153144, -0.12053040098398925, -0.021119240556436127, -0.01640039822086692, -0.012230662209913135, 0.08284710440784693, 0.0244944766163826, -0.021807539375731724, -0.04665526472963393, -0.034662125259637834, 0.06922799088060856, 0.006730634719133377, 0.05806828340282664, -0.008081170544028283, 0.023438535630702972, 0.07232497017830611, 0.005873945727944374, -0.08418180234730244, 0.052043025195598606, -0.06502267830073834, 0.0020890642423182725, 0.036023348383605484, -0.008939841855317354, 0.008531532809138298, 0.06483987723477184, -0.013881850801408292, -0.05061974590644241, -0.020940564665943386, -0.04307118337601423, 0.014893638691864908, -0.028480888064950707, 0.022313638287596405, -0.061685602040961386, -0.024428008403629065, -0.044727212563157086, -0.025453574396669867, 0.04003012308385223, -0.01528475284576416, -0.013713564351201059, -0.04103154800832272, -0.03496087426319718, -0.024227684148354457, -0.009918450214900077, 0.04854037128388882, -0.06623381152749062, -0.0672134168446064, -0.03686362847220153, 0.007122188434004784, 0.07174800923094153, -0.05746889726724476, -0.060178009606897835, -0.010170969367027284, 0.010328201949596405, -0.02709864489734173, -0.010854517435655, 0.0524223305284977, 0.05005065319128335, -0.024890704639256002],
+    [-0.04523497874684194, -0.08617008493884522, -0.019127268946784383, -0.037952320403693354, -0.010688687565133852, 0.026040923836476663, 0.03616099804639816, 0.0072999547290451385, -0.015591845245045774, 0.017879546661039487, 0.07035013137604383, -0.02008792382719762, -0.008873077657292871, -0.0063734393128577396, 0.009751603445586036, -0.012947734198806916, -0.08610739835592754, 0.036764456229695285, -0.01045522904571365, 0.049185720655847996, 0.022579745882574248, -0.06250825518851771, -0.02632967012879603, 0.03258328397265252, -0.03066742474980214, -0.011253914083628093, -0.034947741557570064, 0.0672778983545654, -0.06244801549131379, 0.03179712998954689, 0.0003149810740176369, -0.14795421603519252, 0.05454607027829351, 0.03870339258847868, 0.012374794548925231, -0.03043610799838515, -0.036972399198395366, -0.01090779758113272, -0.043771788477897644, -0.002906429143074681, 0.02499982632477494, 0.00076550616444472, -0.018997397931183085, -0.00509341641822282, 0.05391028413877767, -0.010290647692540112, 0.019176762722268263, -0.040315720773137664, 0.04848894041360301, 0.012603817603496067, -0.004432819516617148, -0.01779364873929059, -0.050291945116923135, -0.025615483221104917, 0.008221382932627903, 0.022291010136113447, -0.04278107714729712, 0.06529873779372257, 0.01819256369901054, -0.020705282273839283, 0.04620124755755943, 0.015420906738761593, -0.059803399312145566, -0.00373699888586998],
+    [0.023405479872599246, 0.0630327881546691, 0.02424619561061263, 0.050557464081794026, 0.008456794591620565, -0.012365634925663472, 0.046093339263461534, 0.11868486534804107, -0.057304004661273215, 0.031264012400060895, -0.04074465902522206, 0.03179576710099354, 0.029258580412715673, 0.06188530837534927, -0.04938145072665066, 0.024289201013743877, -0.03724508974701166, 0.011367058393079789, 0.016431362833827734, -0.04327000849880278, -0.07942260475829244, 0.00011251824907958508, -0.009260766772786156, 0.02613045012112707, 0.012726924268645235, 0.017135271383449436, -0.08427485120482743, -0.028223271016031504, 0.031196647713659334, -0.037143705016933384, 0.06967438156716525, -0.02131440448574722, 0.019859203463420273, 0.014457971160300077, 0.032581665413454176, 0.009736205020453782, 0.04826422511832789, -0.045128206536173825, -0.01969168963842094, 0.02562575060874224, 0.006167553318664432, 0.009454444120638074, -0.060208265099208805, 0.03952951454557479, 0.01821842538774945, 0.0336644574184902, 0.006715017510578037, 0.057216624217107895, -0.046391498204320675, -0.048688709596171977, 0.05882729170843959, 0.06238947100937367, 0.04849209347739816, 0.020022218755912036, 0.011371886357665062, -0.07453013538615778, -0.01842064961383585, -0.03045153708662838, -0.0507886003702879, -0.015417047822847963, 0.02550704695750028, -0.06204476971179247, 0.03776630449574441, 0.04404567277524621],
+    [0.0136453298961415, -0.0407336360829718, -0.04459021759548169, -0.05601369710091282, 0.10594001943793367, 0.08602033686988494, -0.03272176140864544, 0.022484529462149915, -0.010646740248536362, 0.02817953096510952, -0.02056960465715212, 0.011808042414486408, -0.02341586071997881, 0.02093328263692777, -0.007676417884581229, 0.09186463167562205, -0.01315229432657361, 0.04889452610822285, -0.012355270028552589, -0.01278811863020939, 0.036896240020937776, 0.053508086979170054, -0.03997109944055624, -0.0653139372520587, -0.039475244428852904, -0.015191879013881963, 0.0686539619722787, 0.022215968778576043, 0.0217072275631568, -0.10447563354254645, 0.02263079790453262, 0.019685934023822054, 0.027056578327627742, 0.04010769828250084, 0.033145944423535294, -0.02823301076012499, -0.02374795254539041, -0.016403696468949097, 0.053350693381884515, 0.008343692334165098, -0.027401512926992246, -0.04056237757835975, 0.10486353221623336, 0.02378419318291194, 0.015673334545948926, 0.003326122012153706, 0.01735066736171789, 0.030219164074343795, -0.01023059057564858, -0.026117321870782795, -0.0641688946634531, 0.025677995454958257, -0.045384868924670356, -0.028866362621021623, 0.010159720502355519, 0.06955713619861532, -0.02229467246626668, 0.0416765247389455, 0.04621574841439724, -0.08895067958270803, -0.06737951276933446, -0.019367761567563695, -0.006013375474140048, -0.017473876257153118],
+    [-0.01382407423500952, -0.00674832388942473, 0.020519326710583347, 0.004082215288163799, -0.007721588046191946, 0.02370876217824652, -0.06955059804022312, 0.06176116285649569, 0.03708355902007928, -0.0067249138496424015, 0.025960586223702287, 0.010401261504739523, -0.001035730513793073, -0.09793826396037873, 0.022925135336424173, 0.01637676794474062, 0.014636519904199398, -0.009148491803850783, 0.054959907655996315, 0.043261592224313826, -0.004976321183341114, -0.06993748852983117, 0.01286760552810799, 0.0054226949271794994, -0.0534300194612067, 0.08794421580080923, 0.05893363610008045, 0.033249402072550234, 0.03051206579824027, 0.11910503960557674, -0.039214688377748975, 0.09094544938814483, -0.005809136347747162, -0.05489199088984414, -0.0006726132215637909, -0.012163861323834249, -0.04531333002408868, 0.07170860217698455, -0.008570978516026546, 0.06893574191551459, 0.006534810692660118, -0.0063609047057597255, 0.05531428389153198, -0.02826519865515078, -0.07002281627960895, 0.025803053972164265, -0.04488901421427727, -0.010391423399069984, -0.0054552084521243445, -0.05639364045897596, -0.0022311931181895105, -0.01343049520724698, -0.014650297400198483, -0.07305369631534343, -0.0411836335705103, 0.0012016272123314832, 0.0004071865635188786, 0.014993682540462988, -0.005660982018238619, 0.04224166629443827, -0.05679689847717159, 0.005499032669161495, 0.028603687098151757, -0.04308301984871688],
+    [-0.003697359269218785, -0.06746347561212522, -0.06128411773326141, -0.08068306172832047, -0.06862341067088501, -0.028370269308132783, -0.09625707738762554, -0.044858008357031, -0.07328874231981379, -0.01618992377604757, 0.06494159437716007, 0.018347662341381823, -0.07984189729073217, 0.02451695129275322, -0.027193364088556594, -0.07446127384901047, 0.03593642143200018, 0.01276080882442849, 0.009282234058316264, -0.04093791763963444, -0.05483143199152047, -0.012949576335293905, 0.04540851961688271, -0.014681440013061675, 0.101723019964993, 0.02674384694546461, -0.014162245112986836, -0.01980086016867842, -0.014237178755658013, -0.05838385996009622, 0.03389008988493255, 0.07184599749910246, -0.011194963960276383, -0.05350222584924527, -0.07706368541611092, -0.025914662151730484, -0.03160311185222651, -0.014316552380997953, 0.012955601925828626, -0.0895855627687914, -0.03340299341029354, 0.02559665108232626, -0.03358898804123912, -0.06856621123318161, -0.04280217923223972, 0.0504049815104476, 0.011987048966277922, -0.027512874246375368, 0.03372459968418947, -0.027386556055197225, -0.006654998337450836, -0.016565756614519547, -0.0238754372112453, -0.022668438830545968, -0.024197563362706984, -0.04601846452403281, -0.00612068478949368, 0.016700825787016323, 0.07062991010025144, -0.024243670648762157, 0.027731675920741897, 0.07550838903989643, 0.04832183064094611, 0.008324938360601664],
+    [0.02751971588198406, -0.0363007824247082, 0.05537119088694453, -0.043312495632562786, 0.04790683835744858, 0.04231286856035391, -0.10292601860904445, -0.0289868115602682, 0.09010793647030368, -0.045816284827499956, 0.01882729415471355, -0.01861890114378184, -0.03145713033154607, 0.012136071765174467, -0.05665359587631731, 0.08867901718864837, 0.007662162417545915, -0.05432007717899978, -0.017895548206676416, 0.018374505608032145, -0.00901106558740139, 0.051451383003344134, -0.04488173612238218, 0.0546005906847616, -0.0022044655294545614, 0.02514619438443333, 0.03105557612919559, -0.04030831530690193, 0.0914552037914594, -0.001121676138912638, -0.02471874450566247, -0.12653013380865255, -0.049495881889015436, 0.011751409309605757, 0.01807003126790126, -0.043218762400404856, -0.0033921280798191824, 0.10848859138786793, -0.0012623684015125036, 0.057550682822087154, 0.01720384438037096, -0.022159576726456482, -0.03316137223494782, 0.019287445582449436, 0.004450748286520441, -0.03781878358374039, -0.026082088355906308, -0.019446073255191244, -0.036631262240310505, 0.08605295507004485, 0.11092950232947865, -0.031204838363919407, 0.09172251385947068, -0.04186061451522012, 0.04456043961302687, -0.013732998631894588, -0.055015995749272406, -0.017660385890242953, -0.047934073877210416, 0.05275334076335032, 0.002182783248523871, 0.017725003800781753, 0.037373650508622326, -0.036899026056441166],
+    [0.07170078977942466, 0.018872829681883255, -0.00693026597922047, 0.06360042591889699, 0.05764782354235649, -0.06128861239800851, -0.0797686525930961, -0.013405906440069278, 0.01860975914945205, -0.026505354916055997, -0.028905470420916873, -0.10650967645148436, -0.001871380772596846, 0.011227938874314228, 0.08738708007149398, -0.06655871706704299, 0.022088727603356045, -0.029529405664652585, -0.11911695525050163, -0.008798788239558538, 0.03375503892699877, 0.04460829765303061, 0.01823527788122495, -0.003869860836615165, 0.020303294248878955, -0.04305877909064293, 0.04612972165147464, -0.017858816062410673, -0.08544070304681857, -0.00019772693049162625, -0.10624572311838468, -0.042689257053037485, -0.014615573858221372, -0.0028817680353919665, 0.019334792035321395, 0.02348276083357632, 0.007397575179735819, 0.026532308221794663, -0.014117202659447988, -0.013789910078048705, 0.022683478482455634, -0.04550769413860204, -0.029456147489448387, 0.04267417291800181, 0.024711679155007004, 0.005280100399007399, 0.023461807503675422, 0.011573042348027229, 0.02996011624733607, 0.029526475196083386, 0.03756067071420451, -0.041724881157279015, -0.01793179300924142, -0.058333709836006165, 0.06833479426180322, -0.003749015430609385, 0.07879824630605678, -0.03330483014384905, -0.004397415866454442, -0.0038059999545415244, 0.04904173817485571, -0.050864810682833196, 0.05018926719979693, -0.022564608169098693],
+]
+
+
 def q_e3_ivf_ann(spark, sf_dir):
-    """IVF ANN: k-means coarse quantizer (Spark ML, fixed seed) + probe
-    of the nearest inverted lists — the k-means sibling of e2's LSH path;
-    iterative training is not SQL-expressible, rows-only check."""
+    """IVF ANN: frozen k-means coarse quantizer (E3_CENTROIDS — fixed-seed
+    sample training, see tools/train_e3_centroids.py) + probe of the 2
+    nearest inverted lists. With the iterative training split out, the
+    probe phase (centroid-argmin assign → probe-list filter → within-list
+    brute-force top-k) is pure relational algebra, restated verbatim by
+    the DuckDB oracle — full value-hash check."""
     from pgweasel_spark.operators.similarity import ivf_ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    # train the coarse quantizer on the deterministic 1/4 hash sample —
-    # at corpus scale k-means iterations must never scan the full table
     return ivf_ann_topk(
-        e, query_vec_id=0, k=10, n_lists=8, n_probe=2, train_sample_mod=4
+        e, query_vec_id=0, k=10, n_lists=8, n_probe=2,
+        centroids=E3_CENTROIDS,
     )
 
 
@@ -1052,6 +1072,16 @@ _SIMHASH_CTE = f"""
       FROM hs
     )
 """
+
+
+def _duck_ivf_cents() -> str:
+    """VALUES rows for the e3 oracle's centroid CTE — the exact
+    E3_CENTROIDS doubles (repr round-trips bit-exactly into DuckDB's
+    decimal→double parse, same IEEE values Spark gets via F.lit)."""
+    return ", ".join(
+        f"({j}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+        for j, c in enumerate(E3_CENTROIDS)
+    )
 
 
 def _duck_lsh_bucket(n_planes: int, dim: int, vcol: str = "v") -> str:
@@ -1560,9 +1590,46 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS digest
             FROM documents
         """,
-        # e3_ivf_ann: intentionally omitted (iterative k-means training is
-        # not SQL-expressible — rows-only check; its LSH sibling e2 IS
-        # value-checked, as are both embedding near-dup paths d6/d6b)
+        # e3: the frozen-quantizer restatement — same E3_CENTROIDS literals
+        # as the Spark query; assignment is squared-L2 argmin (ties → lowest
+        # list_id, matching array_position-of-array_min), probe picks the 2
+        # centroids nearest the query (ORDER BY d, list_id — matching the
+        # driver-side stable sort), then within-list brute-force top-10.
+        "e3_ivf_ann": f"""
+            WITH ed AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), cents(list_id, cv) AS (
+              VALUES {_duck_ivf_cents()}
+            ), ad AS (
+              SELECT e.vec_id, e.v, c.list_id,
+                     list_sum([ (e.v[i+1] - c.cv[i+1])^2
+                                for i in range(0, 64) ]) AS d
+              FROM ed e CROSS JOIN cents c
+            ), asg AS (
+              SELECT vec_id, v, CAST(list_id AS INT) AS list_id
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY d, list_id) AS rn
+                    FROM ad)
+              WHERE rn = 1
+            ), q AS (SELECT v AS qv FROM ed WHERE vec_id = 0
+            ), probe AS (
+              SELECT c.list_id FROM cents c, q
+              ORDER BY list_sum([ (q.qv[i+1] - c.cv[i+1])^2
+                                  for i in range(0, 64) ]), c.list_id
+              LIMIT 2
+            )
+            SELECT a.vec_id,
+                   round(list_dot_product(a.v, q.qv)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                     AS cosine_sim,
+                   a.list_id
+            FROM asg a, q
+            WHERE a.list_id IN (SELECT list_id FROM probe)
+              AND a.vec_id != 0
+            ORDER BY cosine_sim DESC, a.vec_id ASC
+            LIMIT 10
+        """,
     }
 
 

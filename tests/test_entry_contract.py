@@ -4,8 +4,10 @@ importable without a SparkSession."""
 
 import __spark_entry__ as entry
 
-#: genuinely non-SQL-expressible (iterative k-means training)
-ROWS_ONLY = {"e3_ivf_ann"}
+#: empty since round 3: e3's iterative k-means training was split out
+#: (frozen E3_CENTROIDS literals, tools/train_e3_centroids.py), making
+#: the probe phase fully oracle-checkable — every query has a value oracle
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_oracle_has_a_query():
