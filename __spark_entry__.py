@@ -696,12 +696,14 @@ def q_d6_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, EXACT, via the blocked-GEMM
     engine (hash-blocked pair groups + per-group numpy GEMM under
     applyInPandas — ~30x the HOF pair-join, identical round-6 values;
-    the HOF formulation is kept and asserted equal in tests). Threshold
-    0.4 because the synthetic embeddings top out at cosine ~0.51."""
-    from pgweasel_spark.operators.dedup import embedding_near_dups_blocked
+    the HOF formulation is kept and asserted equal in tests). Since
+    round 3 the single entry point routes exact mode through the GEMM
+    engine by default. Threshold 0.4 because the synthetic embeddings
+    top out at cosine ~0.51."""
+    from pgweasel_spark.operators.dedup import embedding_near_dups
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups_blocked(e, threshold=0.4)
+    return embedding_near_dups(e, threshold=0.4)
 
 
 def q_d7_chunk_dup(spark, sf_dir):

@@ -210,7 +210,34 @@ def main(argv=None):
         print("Connections by time bucket:")
         for r in agg.connections_buckets(ev).collect():
             print(f"  {r['cnt']:>6}  {r['bucket_ts']}")
-    elif cmd in ("peaks", "stats"):
+    elif cmd == "stats":
+        # declared-but-stub in the reference (src/main.rs:147-149); here the
+        # engine already computes six aggregate tables, so expose them:
+        # live from the parsed events (equivalent to what `run` persists
+        # under <out>/stats — see plans/pipeline.write_stats)
+        err = ev.where(F.col("severity_num") >= route.MIN_SEV_ERRORS)
+        logp = ev.where(F.col("severity_num") >= route.MIN_SEV_LOG)
+        print("== errors top ==")
+        for r in agg.errors_top(err, args.max).collect():
+            print(f"{r['cnt']:>6}  {r['message']}")
+        print("== errors histogram ==")
+        for r in agg.errors_hist(err, args.bucket).collect():
+            print(f"  {r['cnt']:>6}  {r['bucket_ts']:%Y-%m-%d %H:%M:%S}")
+        print("== slow top ==")
+        for r in agg.slow_top(logp, 5).collect():
+            print(f"{r['duration_ms']:>12}ms  {r['raw'].splitlines()[0][:100]}")
+        t = agg.connections_totals(logp).collect()[0]
+        print("== connections ==")
+        print(f"Total connection attempts: {t['connection_attempts']}")
+        print(f"Total authenticated connections: {t['authenticated']}")
+        print(f"Total authenticated SSL connections: {t['authenticated_ssl']}")
+        print(f"Total connection failures: {t['failures']}")
+        for r in agg.connections_by_dim(logp).collect():
+            print(f"  [{r['dim']}] {r['cnt']:>6}  {r['value']}")
+        print("Connections by time bucket:")
+        for r in agg.connections_buckets(logp).collect():
+            print(f"  {r['cnt']:>6}  {r['bucket_ts']}")
+    elif cmd == "peaks":
         # declared-but-stub in the reference (src/main.rs:147-149)
         print("Not implemented")
     else:

@@ -523,6 +523,15 @@ def embedding_near_dups_blocked(
     5e-7) — asserted by test_embedding_near_dups_engines_agree."""
     import pandas as pd  # noqa: F401 (worker-side)
 
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        # the GEMM kernel orders pairs with np.minimum/np.maximum and
+        # emits `doc1 long`; a string id would compare lexicographically
+        # and break the schema — fail loudly instead (ADVICE r2)
+        raise TypeError(
+            f"embedding_near_dups_blocked needs an integral {id_col!r} "
+            f"(got {id_type}); use engine='hof' for non-numeric ids"
+        )
     b = F.pmod(F.xxhash64(F.col(id_col)), n_blocks).cast("int")
     base = df.select(
         F.col(id_col).alias("id"),
@@ -583,18 +592,35 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     lsh_planes: int | None = None,
     dim: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (id1 < id2) with
-    cosine >= threshold.
+    cosine >= threshold — the single entry point for both engines.
 
-    Exact mode (lsh_planes=None) is the all-pairs baseline — O(n^2), fine
-    for a verification corpus, not for 10^12 rows. The scale path sets
-    ``lsh_planes``: both sides are bucketed by their random-hyperplane sign
-    pattern (similarity.lsh_bucket) and the pair join runs per bucket — a
-    shuffle-hash join on the bucket key instead of a cross join, trading
-    recall (near-dups in different buckets are missed) for a ~2^planes
-    candidate reduction, same trade as MinHash banding in
-    lsh_candidate_pairs."""
+    Exact mode (lsh_planes=None) routes to the blocked-GEMM engine by
+    default (``embedding_near_dups_blocked``: hash-blocked pair groups +
+    one numpy GEMM per block pair under applyInPandas — ~30x the HOF
+    pair-join, 33.5s → 1.1s at sf0.1). Exact all-pairs is still O(n²);
+    at 10^12 rows set ``lsh_planes`` instead. ``engine="hof"`` keeps the
+    per-pair zip_with fold as the slow reference implementation (also
+    the fallback for non-integral id columns, which the GEMM kernel
+    rejects) — test_embedding_near_dups_engines_agree pins the two
+    engines to identical round-6 results.
+
+    The scale path sets ``lsh_planes``: both sides are bucketed by their
+    random-hyperplane sign pattern (similarity.lsh_bucket) and the pair
+    join runs per bucket — a shuffle-hash join on the bucket key instead
+    of a cross join, trading recall (near-dups in different buckets are
+    missed) for a ~2^planes candidate reduction, same trade as MinHash
+    banding in lsh_candidate_pairs."""
+    if engine not in ("auto", "hof", "gemm"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if lsh_planes is None and engine in ("auto", "gemm"):
+        return embedding_near_dups_blocked(
+            df, threshold=threshold, vec_col=vec_col, id_col=id_col
+        )
+    if engine == "gemm":
+        raise ValueError("engine='gemm' supports exact mode only")
     from pgweasel_spark.operators.similarity import (
         dot,
         l2_norm,

@@ -102,14 +102,20 @@ def repetition_stats(
     per-doc aggregate. Two shuffles on uniform keys; the per-doc group
     is bounded by the doc's own length, so no skew beyond document size
     (which the quality length gate already bounds upstream)."""
+    from pgweasel_spark.operators.dedup import words as _dedup_words
+
     # pre-split into an attribute column so the gram lambda slices an
-    # existing array instead of re-splitting the text per element
+    # existing array instead of re-splitting the text per element.
+    # Tokenization is dedup's single-space split — the same convention
+    # the n-gram dedup family and the t5 oracle use; textstats.words
+    # (trim + \s+) would diverge on multi-space/leading-whitespace docs
+    # (ADVICE r2).
     grams = F.expr(
         f"transform(sequence(0, size(_w) - {gram_words}),"
         f" i -> concat_ws(' ', slice(_w, i + 1, {gram_words})))"
     )
     ex = (
-        df.select(key_col, words(F.col(text_col)).alias("_w"))
+        df.select(key_col, _dedup_words(F.col(text_col)).alias("_w"))
         .where(F.size("_w") >= gram_words)
         .select(key_col, F.explode(grams).alias("g"))
     )

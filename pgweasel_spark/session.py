@@ -34,9 +34,14 @@ def get_spark(
     launcher's JVM system properties.)"""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
-        master = os.environ.get("SPARK_MASTER")
-        if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
-            master = f"local[{cpus}]"
+        if "PYSPARK_GATEWAY_PORT" in os.environ:
+            # launcher-configured driver (spark-submit): its --master is
+            # authoritative — a stray SPARK_MASTER in the environment must
+            # not silently override it (ADVICE r2), so leave the builder's
+            # master untouched entirely
+            master = None
+        else:
+            master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)

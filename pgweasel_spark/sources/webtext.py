@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: per-member decompressed-size cap for zip sources — a log file member
+#: larger than this is almost certainly a decompression bomb
+_MAX_ZIP_MEMBER_BYTES = 256 * 1024 * 1024
+
 WEBTEXT_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
@@ -63,9 +67,16 @@ def read_zip_logs(spark: SparkSession, path: str) -> DataFrame:
     schema as read_raw_logs. A zip is not splittable, so parallelism is
     across archives — exactly the reference's per-archive loop, spread
     over executors. Member bytes decode as UTF-8-with-replacement,
-    matching the text reader."""
+    matching the text reader.
+
+    Memory bounds (ADVICE r2): one DataFrame is yielded PER ARCHIVE, so
+    peak worker memory is one archive's decoded members rather than the
+    whole Arrow batch of archives; each member decompresses through a
+    capped read (``_MAX_ZIP_MEMBER_BYTES``) so a zip-bomb member fails
+    loudly instead of OOMing the Python worker."""
 
     blobs = spark.read.format("binaryFile").load(path)
+    cap = _MAX_ZIP_MEMBER_BYTES
 
     def explode_zip(batches):
         import io
@@ -74,18 +85,24 @@ def read_zip_logs(spark: SparkSession, path: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            urls: list[str] = []
-            texts: list[str] = []
             for p, content in zip(pdf["path"], pdf["content"]):
+                urls: list[str] = []
+                texts: list[str] = []
                 with zipfile.ZipFile(io.BytesIO(content)) as zf:
                     for info in zf.infolist():
                         if info.is_dir():
                             continue
+                        with zf.open(info) as member:
+                            data = member.read(cap + 1)
+                        if len(data) > cap:
+                            raise ValueError(
+                                f"zip member {p}!{info.filename} exceeds "
+                                f"{cap} bytes decompressed"
+                            )
                         urls.append(f"{p}!{info.filename}")
-                        texts.append(
-                            zf.read(info).decode("utf-8", "replace")
-                        )
-            yield pd.DataFrame({"url": urls, "text": texts})
+                        texts.append(data.decode("utf-8", "replace"))
+                if urls:
+                    yield pd.DataFrame({"url": urls, "text": texts})
 
     pages = blobs.select("path", "content").mapInPandas(
         explode_zip, "url string, text string"

@@ -90,9 +90,20 @@ def test_cli_slow_top(spark, webtext_dir):
 
 
 def test_cli_stub_commands(spark, webtext_dir):
+    # `peaks` stays a parity stub (src/main.rs:147-149); `stats` is wired
+    # to the six aggregate tables the engine computes (round-3)
     assert "Not implemented" in _run_cli(
-        ["stats", "--input", webtext_dir]
+        ["peaks", "--input", webtext_dir]
     )
+
+
+def test_cli_stats_reports_all_sections(spark, webtext_dir):
+    out = _run_cli(["stats", "--input", webtext_dir])
+    assert "== errors top ==" in out
+    assert "== errors histogram ==" in out
+    assert "== slow top ==" in out
+    assert "Total connection attempts:" in out
+    assert "Connections by time bucket:" in out
 
 
 def test_streaming_available_now(spark, webtext_dir, tmp_path):

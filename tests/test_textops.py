@@ -267,18 +267,35 @@ def test_embedding_near_dups_engines_agree(spark):
     e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     hof = {
         (r["doc1"], r["doc2"]): r["cosine_sim"]
-        for r in dedup.embedding_near_dups(e, threshold=0.5).collect()
+        for r in dedup.embedding_near_dups(
+            e, threshold=0.5, engine="hof"
+        ).collect()
     }
+    # default exact mode routes through the blocked-GEMM engine
     gemm = {
         (r["doc1"], r["doc2"]): r["cosine_sim"]
-        for r in dedup.embedding_near_dups_blocked(
-            e, threshold=0.5
-        ).collect()
+        for r in dedup.embedding_near_dups(e, threshold=0.5).collect()
     }
     assert set(hof) == set(gemm)
     assert (2, 150) in gemm
     for k, v in hof.items():
         assert gemm[k] == pytest.approx(v, abs=2e-6)
+
+
+def test_embedding_near_dups_rejects_string_ids(spark):
+    """The GEMM kernel needs integral ids (np.minimum ordering + long
+    output schema) — a string id must fail loudly, not lexicographically."""
+    e = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
+        "vec_id string, embedding array<float>",
+    )
+    with pytest.raises(TypeError, match="integral"):
+        dedup.embedding_near_dups(e, threshold=0.5)
+    # the HOF reference engine handles non-numeric ids
+    rows = dedup.embedding_near_dups(
+        e, threshold=0.5, engine="hof"
+    ).collect()
+    assert [(r["doc1"], r["doc2"]) for r in rows] == [("a", "b")]
 
 
 def test_textstats(docs):
@@ -436,6 +453,19 @@ def test_repetition_stats(spark):
     assert out[1]["n_grams"] == 5
     assert out[1]["top_gram_frac"] == pytest.approx(0.2)
     assert out[1]["dup_gram_frac"] == 0.0
+
+
+def test_repetition_stats_single_space_tokenization(spark):
+    """repetition_stats must share dedup's single-space split (the t5
+    oracle convention): 'a  b' splits to ['a', '', 'b'] — 2 bigrams
+    ('a ' and ' b'), NOT 1 — and a leading space adds an empty token.
+    Guards the ADVICE-r2 divergence where \\s+ tokenization silently
+    disagreed with the oracle on multi-space docs."""
+    rows = [(0, "a  b"), (1, " x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert out[0]["n_grams"] == 2  # ('a',''), ('','b')
+    assert out[1]["n_grams"] == 2  # ('','x'), ('x','y')
 
 
 def test_pii_scrub(spark):
