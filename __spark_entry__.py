@@ -44,9 +44,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _CSV13_PREFIX = "f1,f2,f3,f4,f5,f6,f7,f8,f9,f10,f11,LOG,00000,"
 
 
-def _events_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_with_lines(
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None
+) -> DataFrame:
     """events + deterministically constructed pgweasel-grammar log lines
-    (identical construction in the DuckDB oracles)."""
+    (identical construction in the DuckDB oracles).
+
+    ``only`` selects which line columns to build. Catalyst prunes unused
+    COLUMNS from execution, but the DRIVER still pays analysis +
+    optimization over the full 12-column expression tree — measured as
+    the r1→r2 "+20-59% grok regression" (VERDICT r2 task #5): the tree
+    doubled when p2/p6/f2/f5/f6/a4c landed, and every count()-pruned
+    micro-query picked up ~0.1-0.2s of pure plan-compile time. A single
+    ``withColumns`` call (one analysis pass, not 12 chained ones) with
+    only the needed expressions restores the r1 driver cost."""
     ev = _t(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("int")
     sev_line = (
@@ -172,20 +183,22 @@ def _events_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k < 55, F.lit('FATAL:  password authentication failed for user "u1"'))
         .otherwise(F.lit("LOG:  checkpoint complete"))
     )
-    return (
-        ev.withColumn("k", k)
-        .withColumn("sev_line", sev_line)
-        .withColumn("dur_line", dur_line)
-        .withColumn("kv_line", kv_line)
-        .withColumn("msg_line", msg_line)
-        .withColumn("ts_line", ts_line)
-        .withColumn("csv_sev_line", csv_sev_line)
-        .withColumn("csv_msg_line", csv_msg_line)
-        .withColumn("lock_line", lock_line)
-        .withColumn("sys_line", sys_line)
-        .withColumn("gate_line", gate_line)
-        .withColumn("conn_line", conn_line)
-    )
+    line_cols = {
+        "sev_line": sev_line,
+        "dur_line": dur_line,
+        "kv_line": kv_line,
+        "msg_line": msg_line,
+        "ts_line": ts_line,
+        "csv_sev_line": csv_sev_line,
+        "csv_msg_line": csv_msg_line,
+        "lock_line": lock_line,
+        "sys_line": sys_line,
+        "gate_line": gate_line,
+        "conn_line": conn_line,
+    }
+    if only is not None:
+        line_cols = {n: line_cols[n] for n in only}
+    return ev.withColumns({"k": k, **line_cols})
 
 
 _LINES_SQL = f"""
@@ -364,7 +377,7 @@ def q_f4_slow_filter(spark, sf_dir):
 def q_p1_severity_grok(spark, sf_dir):
     """P1 severity classification, exact needle precedence (LOG: before
     ERROR: — src/severity.rs:62-101), on constructed lines."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['sev_line'])
     return (
         ev.select(X.severity_plain(F.col("sev_line")).alias("severity"))
         .groupBy("severity")
@@ -376,7 +389,7 @@ def q_p1_severity_grok(spark, sf_dir):
 def q_p3_severity_enrich(spark, sf_dir):
     """P3 severity→ordinal/class via broadcast dim join (the reference's
     inlined lookup at src/severity.rs:161-176 as a dimension table)."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['sev_line'])
     sev = ev.select(X.severity_plain(F.col("sev_line")).alias("severity"))
     dim = spark.createDataFrame(
         [
@@ -399,7 +412,7 @@ def q_p3_severity_enrich(spark, sf_dir):
 def q_p5_message_grok(spark, sf_dir):
     """P5 plain message extraction: first ': ', skip spaces, cut at
     newline (src/format/plain.rs:1-23)."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['msg_line'])
     return ev.select(
         "event_id", X.message_plain(F.col("msg_line")).alias("message")
     )
@@ -408,7 +421,7 @@ def q_p5_message_grok(spark, sf_dir):
 def q_p7_timestamp_grok(spark, sf_dir):
     """P7 timestamp parse: first three whitespace tokens, TZ token
     consumed-and-discarded (src/util.rs:171-200)."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['ts_line'])
     return ev.select(
         "event_id", X.event_ts(F.col("ts_line")).alias("parsed_ts")
     )
@@ -416,7 +429,7 @@ def q_p7_timestamp_grok(spark, sf_dir):
 
 def q_p8_kv_grok(spark, sf_dir):
     """P8 key=value extraction (src/format/mod.rs:37-68) + group count."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['kv_line'])
     line = F.col("kv_line")
     return (
         ev.select(
@@ -433,7 +446,7 @@ def q_p8_kv_grok(spark, sf_dir):
 def q_p9_duration_grok(spark, sf_dir):
     """P9 duration extraction (src/duration.rs:5-54) on constructed
     lines; returns all rows (no selection boundary)."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['dur_line'])
     return ev.select(
         "event_id",
         F.round(X.duration_ms(F.col("dur_line")), 2).alias("duration_ms"),
@@ -445,7 +458,7 @@ def q_p2_severity_csv(spark, sf_dir):
     precedence (src/severity.rs:20-58) on constructed csv lines; the
     both-needles row checks that LOG wins over ERROR by scan order, not
     position."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['csv_sev_line'])
     return (
         ev.select(X.severity_csv(F.col("csv_sev_line")).alias("severity"))
         .groupBy("severity")
@@ -459,7 +472,7 @@ def q_p6_message_csv(spark, sf_dir):
     quotes stripped, ""-escapes kept verbatim (src/format/csv.rs:1-53).
     The oracle states the expected field-14 content directly from the
     line construction — an independent formulation of the regex."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['csv_msg_line'])
     return ev.select(
         "event_id", X.message_csv(F.col("csv_msg_line")).alias("message")
     )
@@ -471,7 +484,7 @@ def q_f2_min_severity(spark, sf_dir):
     EXCLUDES panic records) — the gate that guards every sink."""
     from pgweasel_spark.operators import route
 
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['gate_line'])
     sev = X.severity_plain(F.col("gate_line"))
     out = ev.select(
         "event_id",
@@ -485,7 +498,7 @@ def q_f5_locks(spark, sf_dir):
     """F5 LockingFilter: 17 ci literals OR case-sensitive
     ``process [0-9]+ acquired`` (locking_filter.rs:12-83); the UPPERCASE
     process-acquired row must NOT match."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['lock_line'])
     return ev.where(X.is_lock(F.col("lock_line"))).select(
         "event_id", "lock_line"
     )
@@ -493,7 +506,7 @@ def q_f5_locks(spark, sf_dir):
 
 def q_f6_system(spark, sf_dir):
     """F6 SystemFilter: 24 ci literals (system_filter.rs:12-48)."""
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['sys_line'])
     return ev.where(X.is_system(F.col("sys_line"))).select(
         "event_id", "sys_line"
     )
@@ -506,7 +519,7 @@ def q_a4c_conn_by_dim(spark, sf_dir):
     running the production extraction + the salted by-dim aggregate."""
     from pgweasel_spark.operators import aggregates as agg_ops
 
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['conn_line'])
     line = F.col("conn_line")
     frame = ev.select(
         F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("url"),
@@ -1645,7 +1658,7 @@ def entry(spark: SparkSession) -> DataFrame:
     P3 ordinal gating) on constructed log lines over sf0.001 events —
     parse → enrich → aggregate in one declarative plan."""
     sf_dir = "/root/testdata/sf0.001"
-    ev = _events_with_lines(spark, sf_dir)
+    ev = _events_with_lines(spark, sf_dir, only=['sev_line', 'dur_line'])
     sev = X.severity_plain(F.col("sev_line"))
     dur = X.duration_ms(F.col("dur_line"))
     return (
