@@ -945,6 +945,39 @@ def q_d5b_simhash_neardup(spark, sf_dir):
     ).orderBy("doc1", "doc2")
 
 
+def q_d9_dup_groups(spark, sf_dir):
+    """Connected components over the d5b SimHash near-dup pairs →
+    duplicate groups (min-reachable-id canonical label) — the step after
+    candidate generation in every production dedup pipeline (A~B and B~C
+    collapse to one group even when A~C was never a pair). Spark side is
+    iterative min-label propagation (diameter-bounded, 2-3 rounds for
+    banded near-dup clusters); the DuckDB oracle restates reachability
+    as a recursive CTE over the identical pair set."""
+    from pgweasel_spark.operators.dedup import (
+        near_dup_groups,
+        simhash_near_dups,
+    )
+
+    sig = q_d5_simhash(spark, sf_dir).persist()
+    pairs = simhash_near_dups(
+        sig,
+        key_col="doc_id",
+        sig_col="simhash",
+        max_hamming=8,
+        allow_partial_recall=True,
+    )
+    return near_dup_groups(pairs)
+
+
+def q_t7_gopher_gate(spark, sf_dir):
+    """Composite Gopher-style keep/drop verdict (length + repetition
+    occupancy, fixed reason precedence) over the documents table."""
+    from pgweasel_spark.operators.textstats import gopher_gate
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_gate(d).orderBy("doc_id")
+
+
 #: e3's frozen IVF coarse quantizer: fixed-seed (42) k-means on the
 #: deterministic 1/4 hash sample of the sf0.01 embeddings, generated by
 #: tools/train_e3_centroids.py (training is iterative and therefore not
@@ -1035,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_ngram_jaccard": q_d4_ngram_jaccard,
         "d5_simhash": q_d5_simhash,
         "d5b_simhash_neardup": q_d5b_simhash_neardup,
+        "d9_dup_groups": q_d9_dup_groups,
         "d6_embed_neardup": q_d6_embed_neardup,
         "d6b_embed_neardup_lsh": q_d6b_embed_neardup_lsh,
         "d7_chunk_dup": q_d7_chunk_dup,
@@ -1045,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprint": q_t4_fingerprint,
         "t5_repetition": q_t5_repetition,
         "t6_pii_scrub": q_t6_pii_scrub,
+        "t7_gopher_gate": q_t7_gopher_gate,
         "e1_cosine_all": q_e1_cosine_all,
         "e2_lsh_ann": q_e2_lsh_ann,
         "e3_ivf_ann": q_e3_ivf_ann,
@@ -1411,6 +1446,67 @@ def oracle_sql() -> dict[str, str]:
               ON a.b = b2.b AND a.bval = b2.bval AND a.doc_id < b2.doc_id
             WHERE bit_count(xor(a.sh, b2.sh)) <= 8
             ORDER BY 1, 2
+        """,
+        # d9: reachability over the EXACT d5b pair set as a recursive CTE
+        # (DuckDB allows non-recursive CTEs under WITH RECURSIVE, so the
+        # shared simhash CTE chain is reused verbatim with the keyword
+        # swapped in)
+        "d9_dup_groups": _SIMHASH_CTE.replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1
+        )
+        + """
+            , banded AS (
+              SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bval
+              FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+              FROM banded a JOIN banded b2
+                ON a.b = b2.b AND a.bval = b2.bval AND a.doc_id < b2.doc_id
+              WHERE bit_count(xor(a.sh, b2.sh)) <= 8
+            ), edges AS (
+              SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs
+            ), reach AS (
+              SELECT a AS id, b AS r FROM edges
+              UNION
+              SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b
+            )
+            SELECT id AS doc_id,
+                   least(id, min(r)) AS group_id
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "t7_gopher_gate": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS g
+              FROM w WHERE len(w) >= 2
+            ), pg AS (
+              SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+            ), rep AS (
+              SELECT doc_id,
+                     round(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS topf,
+                     round(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                           / CAST(SUM(cnt) AS DOUBLE), 4) AS dupf
+              FROM pg GROUP BY 1
+            ), gate AS (
+              SELECT w.doc_id,
+                     CAST(len(w.w) AS BIGINT) AS n_tokens,
+                     COALESCE(rep.topf, 0.0) AS top_gram_frac,
+                     COALESCE(rep.dupf, 0.0) AS dup_gram_frac,
+                     CASE WHEN len(w.w) < 20 THEN 'too_short'
+                          WHEN COALESCE(rep.topf, 0.0) > 0.18
+                            THEN 'top_gram'
+                          WHEN COALESCE(rep.dupf, 0.0) > 0.6
+                            THEN 'dup_gram'
+                          ELSE NULL END AS reason
+              FROM w LEFT JOIN rep ON w.doc_id = rep.doc_id
+            )
+            SELECT doc_id, n_tokens, top_gram_frac, dup_gram_frac,
+                   (reason IS NULL) AS keep, reason
+            FROM gate ORDER BY doc_id
         """,
         "d6_embed_neardup": """
             WITH e AS (

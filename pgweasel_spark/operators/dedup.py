@@ -672,3 +672,104 @@ def embedding_near_dups(
         .where(F.col("cosine_sim") >= threshold)
         .orderBy("doc1", "doc2")
     )
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    left_col: str = "doc1",
+    right_col: str = "doc2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate PAIRS → duplicate
+    GROUPS: every doc that appears in any pair gets the minimum reachable
+    doc id as its ``group_id`` (the canonical representative — what a
+    dedup pipeline keeps while dropping the rest of the group).
+
+    This is the step after candidate generation (MinHash/SimHash/embedding
+    pairs) in every production dedup pipeline: pairs alone over-count —
+    A~B and B~C must collapse to ONE group {A,B,C} even when A~C was never
+    emitted as a pair.
+
+    Shape: iterative min-label propagation. ``labels`` starts as id→id;
+    each round every node takes the min of its own label and its
+    neighbors' labels (edges materialized in both directions, so one
+    round = one hop). Near-dup clusters are almost-cliques with tiny
+    diameter, so convergence takes 2-3 rounds regardless of corpus size
+    — the driver loop runs one counted Spark job per round and stops at
+    fixpoint (or ``max_iter``, the safety bound). Each round is one
+    broadcast-or-shuffle equi-join + groupBy on uniform id keys.
+
+    Lineage MUST be truncated per round, not merely cached: an iterative
+    self-referencing plan grows exponentially (each round's logical tree
+    embeds the previous round's twice — once in the join, once in the
+    changed-count), and with heavyweight upstream expressions (the
+    simhash fold) round 3's plan STRING alone OOMs the driver.
+    ``localCheckpoint(eager=True)`` materializes each round's labels and
+    cuts the plan back to a leaf — on a multi-executor cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+    executor-loss resilience; same shape. At 10^12-doc scale with
+    adversarial chain graphs you would switch to the alternating
+    large-star/small-star algorithm (O(log n) rounds); for dedup groups
+    plain propagation IS the scale path because the diameter is bounded
+    by the banding construction, not by n.
+    """
+    edges = (
+        pairs.select(
+            F.col(left_col).alias("a"), F.col(right_col).alias("b")
+        )
+        .union(
+            pairs.select(
+                F.col(right_col).alias("a"), F.col(left_col).alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(edges["a"].alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        hopped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.col("label").alias("_prev"),
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", "label")
+            ).alias("label"),
+        )
+        # pointer-jump: label <- label(label). One extra equi-join per
+        # round turns linear chain propagation into doubling — a
+        # diameter-D component converges in O(log D) rounds instead of D
+        # (the min label travels one hop via nbr, then teleports to
+        # wherever its carrier already points).
+        m = labels.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        # carry the previous label through the checkpoint so the
+        # convergence count below is a scan of local blocks, not another
+        # join-shuffle per round
+        stepped = (
+            hopped.join(m, hopped["label"] == m["_lid"], "left")
+            .select(
+                "id",
+                "_prev",
+                F.least(
+                    F.col("label"), F.coalesce("_llabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.where(F.col("label") != F.col("_prev")).count()
+        labels = stepped.select("id", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("group_id")
+    ).orderBy("doc_id")

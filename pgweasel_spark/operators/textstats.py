@@ -171,3 +171,60 @@ def pii_scrub(
             F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
         ).alias("scrubbed"),
     )
+
+
+def gopher_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_top_gram_frac: float = 0.18,
+    max_dup_gram_frac: float = 0.6,
+) -> DataFrame:
+    """Composite Gopher-style keep/drop gate: document length +
+    repetition occupancy in one verdict — the shape every training-data
+    pipeline runs between filtering and dedup.
+
+    Signals share ONE tokenization (dedup's single-space split, the t5
+    oracle convention): ``n_tokens`` counts tokens; ``top_gram_frac`` /
+    ``dup_gram_frac`` come from :func:`repetition_stats` (left join —
+    docs too short to have a bigram get 0.0). The verdict is
+    ``keep`` + a first-failing ``reason`` with fixed precedence
+    (too_short → top_gram → dup_gram → NULL), so downstream rejection
+    accounting is deterministic.
+
+    Scale shape: repetition_stats' two uniform-key shuffles + one
+    equi-join back to the corpus keyed on ``key_col`` — no new skew
+    surface; the gate itself is map-only."""
+    from pgweasel_spark.operators.dedup import words as _w
+
+    base = df.select(
+        key_col, F.size(_w(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    rep = repetition_stats(df, text_col=text_col, key_col=key_col).select(
+        key_col, "top_gram_frac", "dup_gram_frac"
+    )
+    j = base.join(rep, key_col, "left").select(
+        key_col,
+        "n_tokens",
+        F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
+        F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(
+            F.col("top_gram_frac") > max_top_gram_frac, F.lit("top_gram")
+        )
+        .when(
+            F.col("dup_gram_frac") > max_dup_gram_frac, F.lit("dup_gram")
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        key_col,
+        "n_tokens",
+        "top_gram_frac",
+        "dup_gram_frac",
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )

@@ -482,3 +482,54 @@ def test_pii_scrub(spark):
     assert out[2]["n_emails"] == 2 and out[2]["n_ipv4"] == 1
     assert "<EMAIL>" in out[2]["scrubbed"]
     assert "@" not in out[2]["scrubbed"]
+
+
+def test_near_dup_groups_transitive_closure(spark):
+    """A~B and B~C must collapse to one group even without an A~C pair;
+    disjoint pairs stay separate; labels are min-reachable-id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "doc1 long, doc2 long",
+    )
+    got = {
+        (r["doc_id"], r["group_id"])
+        for r in dedup.near_dup_groups(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_near_dup_groups_long_chain_converges(spark):
+    """A 30-link chain needs many propagation rounds — exercises the
+    fixpoint loop and the per-round lineage truncation (the naive
+    persist-only version OOMed on plan growth by round 3)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc1 long, doc2 long"
+    )
+    rows = dedup.near_dup_groups(pairs).collect()
+    assert len(rows) == 31
+    assert {r["group_id"] for r in rows} == {0}
+
+
+def test_gopher_gate_reason_precedence(spark):
+    """too_short wins over repetition; repetition splits into top_gram
+    vs dup_gram by threshold; clean docs keep with NULL reason."""
+    from pgweasel_spark.operators.textstats import gopher_gate
+
+    rows = [
+        (0, "short doc"),                                # too_short
+        (1, " ".join(["a b"] * 30)),                     # top_gram 0.5+
+        (2, " ".join(f"w{i}" for i in range(40))),       # clean
+        # 25 distinct bigram pairs, each repeated twice -> top frac low,
+        # dup frac 1.0
+        (3, " ".join(f"x{i} y{i}" for i in range(25)) * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_gate(df).collect()}
+    assert out[0]["reason"] == "too_short" and not out[0]["keep"]
+    assert out[1]["reason"] == "top_gram" and not out[1]["keep"]
+    assert out[2]["reason"] is None and out[2]["keep"]
+    assert out[3]["dup_gram_frac"] > 0.9
