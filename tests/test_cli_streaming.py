@@ -315,9 +315,11 @@ def test_spark_submit_pyfiles_job(tmp_path):
     if not os.path.exists(spark_submit):
         pytest.skip("spark-submit not available")
     env = dict(os.environ)
-    # the submit-provided --master must win: no env override here, and
-    # the job echoes the effective master for the assertion below
-    env.pop("SPARK_MASTER", None)
+    # the submit-provided --master must win even against a STRAY
+    # SPARK_MASTER in the environment (ADVICE r2: get_spark must not let
+    # the env override a launcher-configured driver) — point it at a
+    # nonexistent cluster so any override fails loudly
+    env["SPARK_MASTER"] = "spark://nonexistent.invalid:7077"
     env["PYSPARK_PYTHON"] = sys.executable
 
     def submit():
