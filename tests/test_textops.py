@@ -533,3 +533,28 @@ def test_gopher_gate_reason_precedence(spark):
     assert out[1]["reason"] == "top_gram" and not out[1]["keep"]
     assert out[2]["reason"] is None and out[2]["keep"]
     assert out[3]["dup_gram_frac"] > 0.9
+
+
+def test_simhash_build_index_roundtrip(spark, tmp_path):
+    """The persisted signature table must feed simhash_near_dups via
+    sig_col and reproduce the direct-computation pair set."""
+    rows = [(i, f"w{i} x y z a b c") for i in range(20)] + [
+        (100, "w0 x y z a b c")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "simhash_idx")
+    dedup.simhash_build_index(df, path)
+    idx = spark.read.parquet(path)
+    got = sorted(
+        map(
+            tuple,
+            dedup.simhash_near_dups(
+                idx, key_col="doc_id", sig_col="sh", max_hamming=3
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(tuple, dedup.simhash_near_dups(df, max_hamming=3).collect())
+    )
+    assert got == direct
+    assert any(d1 == 0 and d2 == 100 for d1, d2, _ in got)
