@@ -1497,9 +1497,9 @@ def oracle_sql() -> dict[str, str]:
                      COALESCE(rep.topf, 0.0) AS top_gram_frac,
                      COALESCE(rep.dupf, 0.0) AS dup_gram_frac,
                      CASE WHEN len(w.w) < 20 THEN 'too_short'
-                          WHEN COALESCE(rep.topf, 0.0) > 0.18
+                          WHEN COALESCE(rep.topf, 0.0) > 0.1
                             THEN 'top_gram'
-                          WHEN COALESCE(rep.dupf, 0.0) > 0.6
+                          WHEN COALESCE(rep.dupf, 0.0) > 0.2
                             THEN 'dup_gram'
                           ELSE NULL END AS reason
               FROM w LEFT JOIN rep ON w.doc_id = rep.doc_id

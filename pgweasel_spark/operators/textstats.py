@@ -178,8 +178,8 @@ def gopher_gate(
     text_col: str = "text",
     key_col: str = "doc_id",
     min_tokens: int = 20,
-    max_top_gram_frac: float = 0.18,
-    max_dup_gram_frac: float = 0.6,
+    max_top_gram_frac: float = 0.1,
+    max_dup_gram_frac: float = 0.2,
 ) -> DataFrame:
     """Composite Gopher-style keep/drop gate: document length +
     repetition occupancy in one verdict — the shape every training-data
