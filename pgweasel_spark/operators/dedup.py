@@ -585,6 +585,72 @@ def embedding_near_dups_blocked(
     return out.orderBy("doc1", "doc2")
 
 
+def _embedding_near_dups_bucket_gemm(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    n_planes: int,
+    dim: int | None,
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs scored by one numpy GEMM per bucket
+    group — the vectorized form of the per-bucket pair join. Semantics
+    are identical to the HOF bucket path (pairs within the SAME
+    sign-pattern bucket only, round-6 cosine >= threshold); the within-
+    bucket scoring runs as Arrow-batched BLAS instead of a ~10µs-per-pair
+    zip_with fold. Skew note: one pathological bucket = one big GEMM
+    group — the same trade as the pair join, but each pair costs a
+    vectorized multiply-add rather than an expression-tree walk."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    from pgweasel_spark.operators.similarity import lsh_bucket
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"bucketed GEMM needs an integral {id_col!r} (got {id_type}); "
+            "use engine='hof' for non-numeric ids"
+        )
+    if dim is None:
+        row = df.select(vec_col).first()
+        dim = len(row[0]) if row is not None else 0
+    if dim == 0:
+        return embedding_near_dups_blocked(
+            df, threshold=threshold, vec_col=vec_col, id_col=id_col
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket("v", n_planes=n_planes, dim=dim))
+
+    def gemm(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        M = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        M = M / nrm
+        S = M @ M.T
+        ii, jj = np.nonzero(
+            (np.round(S, 6) >= threshold) & (ids[:, None] < ids[None, :])
+        )
+        return pd.DataFrame(
+            {
+                "doc1": ids[ii],
+                "doc2": ids[jj],
+                "cosine_sim": np.round(S[ii, jj], 6),
+            }
+        )
+
+    return (
+        base.groupBy("bucket")
+        .applyInPandas(gemm, "doc1 long, doc2 long, cosine_sim double")
+        .orderBy("doc1", "doc2")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.9,
@@ -619,8 +685,15 @@ def embedding_near_dups(
         return embedding_near_dups_blocked(
             df, threshold=threshold, vec_col=vec_col, id_col=id_col
         )
-    if engine == "gemm":
-        raise ValueError("engine='gemm' supports exact mode only")
+    if lsh_planes is not None and engine in ("auto", "gemm"):
+        return _embedding_near_dups_bucket_gemm(
+            df,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_planes=lsh_planes,
+            dim=dim,
+        )
     from pgweasel_spark.operators.similarity import (
         dot,
         l2_norm,

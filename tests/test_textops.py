@@ -558,3 +558,29 @@ def test_simhash_build_index_roundtrip(spark, tmp_path):
     )
     assert got == direct
     assert any(d1 == 0 and d2 == 100 for d1, d2, _ in got)
+
+
+def test_embedding_near_dups_lsh_engines_agree(spark):
+    """The bucketed-GEMM LSH path (default) must return the identical
+    pair set and round-6 cosines as the HOF per-bucket pair join."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    rows.append((200, [v + 0.002 for v in rows[5][1]]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.5, lsh_planes=6, dim=16)
+    hof = {
+        (r["doc1"], r["doc2"]): r["cosine_sim"]
+        for r in dedup.embedding_near_dups(e, engine="hof", **kw).collect()
+    }
+    gemm = {
+        (r["doc1"], r["doc2"]): r["cosine_sim"]
+        for r in dedup.embedding_near_dups(e, **kw).collect()
+    }
+    assert set(hof) == set(gemm)
+    assert (5, 200) in gemm  # planted near-dup shares its bucket
+    for k, v in hof.items():
+        assert gemm[k] == pytest.approx(v, abs=2e-6)
