@@ -584,3 +584,44 @@ def test_embedding_near_dups_lsh_engines_agree(spark):
     assert (5, 200) in gemm  # planted near-dup shares its bucket
     for k, v in hof.items():
         assert gemm[k] == pytest.approx(v, abs=2e-6)
+
+
+def test_near_dup_groups_random_graphs_match_union_find(spark):
+    """Distributed label propagation must equal a driver-side union-find
+    on random pair graphs (varied density, incl. isolated pairs, stars
+    and chains by construction of the random draw)."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 40, 15), (2, 60, 60), (3, 25, 80)]:
+        rng = random.Random(seed)
+        pairs = set()
+        while len(pairs) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comp = {}
+        for x in parent:
+            comp.setdefault(find(x), []).append(x)
+        expected = {
+            x: min(members)
+            for members in comp.values()
+            for x in members
+        }
+        df = spark.createDataFrame(
+            sorted(pairs), "doc1 long, doc2 long"
+        )
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.near_dup_groups(df).collect()
+        }
+        assert got == expected, f"seed={seed}"
