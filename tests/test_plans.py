@@ -257,3 +257,20 @@ def test_lsh_index_is_bucket_partitioned(spark, tmp_path):
     plan = _plan(df)
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "bucket" in m.group(1), plan
+
+
+def test_bucket_gemm_lsh_plan_single_pandas_group(spark):
+    """The LSH near-dup default engine is bucket → grouped-pandas GEMM:
+    one groupBy exchange, no pair join."""
+    from pgweasel_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5, -0.25]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(
+        dedup.embedding_near_dups(df, threshold=0.5, lsh_planes=4, dim=4)
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
