@@ -122,3 +122,63 @@ def error_burst_alerts(pages: DataFrame, threshold: int = 5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_SCHEMA = (
+    "doc_id bigint, content_hash string, is_duplicate boolean, "
+    "keeper bigint"
+)
+DEDUP_STATE_SCHEMA = "keeper bigint"
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact dedup — the incremental counterpart of
+    ``dedup.exact_dedup`` for a continuously-arriving corpus: every doc
+    is emitted with ``is_duplicate`` and the id of the first-seen doc
+    with the same content hash (``keeper``), ACROSS micro-batches.
+
+    State is one 8-byte keeper id per distinct content hash, keyed by
+    the (uniform) md5 — the same partitioning the batch operator
+    shuffles on, so no skew. On a long-running 10^12-doc stream the
+    state store (RocksDB on a real cluster) holds one entry per unique
+    document; bound it with a TTL timeout if the dedup horizon is
+    finite. Within one micro-batch the min ``key_col`` wins, matching
+    the batch operator's keeper choice."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf[key_col])
+        ids.sort()
+        if state.exists:
+            keeper = int(state.get[0])
+        else:
+            keeper = ids[0]
+            state.update((keeper,))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "content_hash": [key[0]] * len(ids),
+                "is_duplicate": [i != keeper for i in ids],
+                "keeper": [keeper] * len(ids),
+            }
+        )
+
+    hashed = docs.select(
+        F.col(key_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

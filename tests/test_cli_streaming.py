@@ -354,3 +354,64 @@ def test_spark_submit_pyfiles_job(tmp_path):
     assert sorted(second["days_skipped"]) == sorted(
         first["days_processed"] + first["days_skipped"]
     )
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """A doc whose text was first seen in batch 1 must be flagged
+    duplicate in batch 2 with the original keeper id (cross-batch
+    state); within one batch the min doc_id wins, matching the batch
+    operator's keeper choice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgweasel_spark.streaming import stream
+
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    ckpt = str(tmp_path / "ckpt_dd")
+    outdir = str(tmp_path / "dedup_out")
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string())]
+    )
+
+    def write_batch(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       os.path.join(indir, name))
+
+    def run_once():
+        docs = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(indir)
+        )
+        out = stream.streaming_exact_dedup(docs)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["doc_id"]: r for r in spark.read.parquet(outdir).collect()
+        }
+
+    write_batch("b1.parquet", [
+        {"doc_id": 10, "text": "alpha beta"},
+        {"doc_id": 11, "text": "alpha beta"},   # in-batch dup of 10
+        {"doc_id": 12, "text": "unique one"},
+    ])
+    out1 = run_once()
+    assert not out1[10]["is_duplicate"] and out1[10]["keeper"] == 10
+    assert out1[11]["is_duplicate"] and out1[11]["keeper"] == 10
+    assert not out1[12]["is_duplicate"]
+
+    write_batch("b2.parquet", [
+        {"doc_id": 5, "text": "alpha beta"},    # cross-batch dup, LOWER id
+        {"doc_id": 13, "text": "fresh text"},
+    ])
+    out2 = run_once()
+    # state pins the FIRST-SEEN keeper even against a lower later id
+    assert out2[5]["is_duplicate"] and out2[5]["keeper"] == 10
+    assert not out2[13]["is_duplicate"]
