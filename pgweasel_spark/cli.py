@@ -106,6 +106,18 @@ def _base_events(args):
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(args.input)
     ev = parse_events(pages)
+    if getattr(args, "debug", False):
+        # reference parity: --debug/-d prints verbose processing info
+        # (cli.rs:11); counts go to stderr so stdout stays pipeable
+        import time as _time
+
+        t0 = _time.time()
+        n_pages, n_events = pages.count(), ev.count()
+        print(
+            f"[debug] pages={n_pages} parsed_events={n_events} "
+            f"parse_wall={_time.time() - t0:.2f}s input={args.input}",
+            file=sys.stderr,
+        )
     ev = route.mask_filter(ev, args.mask)
     min_sev = grammar.SEVERITY_NUM[
         grammar.severity_from_name(args.level)
@@ -131,6 +143,10 @@ def main(argv=None):
     ap.add_argument("subcommand", nargs="?", default=None)
     ap.add_argument("--input", required=True, help="webtext parquet dir")
     ap.add_argument("--out", help="output root (run command)")
+    ap.add_argument(
+        "--debug", "-d", action="store_true",
+        help="verbose: print processing counts/timing to stderr",
+    )
     ap.add_argument("--level", "-l", default=None)
     ap.add_argument("--mask", "-m", default=None)
     ap.add_argument("--begin", "-b", default=None)
