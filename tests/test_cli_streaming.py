@@ -415,3 +415,49 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     # state pins the FIRST-SEEN keeper even against a lower later id
     assert out2[5]["is_duplicate"] and out2[5]["keeper"] == 10
     assert not out2[13]["is_duplicate"]
+
+
+def test_run_dedup_job_entry(spark, tmp_path):
+    """jobs/run_dedup.py drives gate -> exact -> pairs -> groups and
+    emits one JSON summary line (the ship-path contract for the
+    training-data pass)."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.run_dedup import main as dedup_main
+
+    rows = [
+        {"doc_id": i, "text": " ".join(f"w{i} tok{j}" for j in range(15))}
+        for i in range(8)
+    ]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup
+    rows.append({"doc_id": 101, "text": "tiny"})           # too_short
+    indir = str(tmp_path / "docs")
+    os.makedirs(indir)
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        ),
+        os.path.join(indir, "part0.parquet"),
+    )
+    out = str(tmp_path / "dd_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = dedup_main(["--input", indir, "--out", out])
+    assert rc == 0
+    line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["rows"]["gate"] == 10
+    assert res["kept_docs"] == 9          # the 'tiny' doc is dropped
+    assert res["rows"]["exact"] == 9      # 10 docs, one exact-dup pair
+    assert res["rows"]["pairs"] >= 1      # the exact dup shares every band
+    groups = {
+        r["doc_id"]: r["group_id"]
+        for r in spark.read.parquet(os.path.join(out, "groups")).collect()
+    }
+    assert groups[100] == groups[0] == 0
