@@ -156,6 +156,16 @@ def main(argv=None):
     ap.add_argument("--threshold", default="3s")
     args = ap.parse_args(argv)
 
+    import glob as _glob
+    import os as _os
+
+    # clean error before any Spark startup: the reference prints a clear
+    # message on a bad path instead of a stack trace
+    if not (
+        _os.path.exists(args.input) or _glob.glob(args.input)
+    ):
+        ap.exit(2, f"error: input path does not exist: {args.input}\n")
+
     cmd = _ALIASES.get(args.command, args.command)
 
     if cmd == "run":

@@ -461,3 +461,12 @@ def test_run_dedup_job_entry(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "groups")).collect()
     }
     assert groups[100] == groups[0] == 0
+
+
+def test_cli_missing_input_clean_error(capsys):
+    """A bad --input path must exit 2 with a one-line error, not a
+    Spark stack trace (no session is even started)."""
+    with pytest.raises(SystemExit) as e:
+        cli.main(["errors", "top", "--input", "/tmp/definitely_missing_x"])
+    assert e.value.code == 2
+    assert "does not exist" in capsys.readouterr().err
