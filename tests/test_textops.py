@@ -697,3 +697,8 @@ def test_pnm_decode_through_spark_operators(spark):
     }
     arr = np.frombuffer(rs[1]["resized"], dtype=np.uint8).reshape(2, 2, 3)
     assert tuple(arr[0, 0]) == (0, 0, 0)
+
+
+def test_near_dup_groups_empty_pairs(spark):
+    empty = spark.createDataFrame([], "doc1 long, doc2 long")
+    assert dedup.near_dup_groups(empty).collect() == []
