@@ -637,6 +637,26 @@ def q_w1_latest_per_user(spark, sf_dir):
     )
 
 
+def q_w2_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): lag → prefix-sum session
+    numbering inside one window shuffle, then per-session aggregate. The
+    oracle restates the identical two-window construction."""
+    from pgweasel_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=1800)
+
+
+def q_a5_duration_pct(spark, sf_dir):
+    """Per-event-type latency distribution: exact p50/p95/p99 via
+    PERCENTILE_CONT-style linear interpolation (cross-engine checkable;
+    approx_percentile is the documented 10^12-row path)."""
+    from pgweasel_spark.operators.aggregates import value_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return value_percentiles(ev, "value", ["event_type"])
+
+
 # --- training-data ops ------------------------------------------------------
 
 
@@ -1062,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h1_lineitem_agg": q_h1_lineitem_agg,
         "h2_join_topn": q_h2_join_topn,
         "w1_latest_per_user": q_w1_latest_per_user,
+        "w2_sessions": q_w2_sessions,
+        "a5_duration_pct": q_a5_duration_pct,
         "d1_dedup_exact": q_d1_dedup_exact,
         "d2_dedup_norm": q_d2_dedup_norm,
         "d3_minhash_sigs": q_d3_minhash_sigs,
@@ -1396,6 +1418,33 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "w2_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800.0
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), n AS (
+              SELECT user_id, ts,
+                     CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+              FROM o
+            )
+            SELECT user_id, session_no,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM n GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "a5_duration_pct": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "d1_dedup_exact": """
             SELECT md5(text) AS content_hash, COUNT(*) AS cnt,

@@ -702,3 +702,43 @@ def test_pnm_decode_through_spark_operators(spark):
 def test_near_dup_groups_empty_pairs(spark):
     empty = spark.createDataFrame([], "doc1 long, doc2 long")
     assert dedup.near_dup_groups(empty).collect() == []
+
+
+def test_sessionize_gap_semantics(spark):
+    """Strictly-greater gap starts a new session; ties on ts are broken
+    by the tiebreak column; per-session aggregates are exact."""
+    from datetime import datetime
+
+    from pgweasel_spark.operators.sessions import sessionize
+
+    t = lambda m, s=0: datetime(2025, 1, 1, 10, m, s)
+    rows = [
+        (1, t(0), 100), (1, t(10), 101),        # same session (600s gap)
+        (1, t(40, 1), 102),                     # 1801s > 1800 → new
+        (2, t(0), 200), (2, t(30), 201),        # exactly 1800s → SAME
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {
+        (r["user_id"], r["session_no"]): r
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 1)]["session_end"] == t(10)
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["n_events"] == 2  # boundary gap does not split
+
+
+def test_value_percentiles_exact_interpolation(spark):
+    """Exact percentiles use PERCENTILE_CONT linear interpolation:
+    p50 of [1..4] = 2.5; p95 of [1..4] = 1 + 0.95*3 = 3.85."""
+    from pgweasel_spark.operators.aggregates import value_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4)], "g string, value double"
+    )
+    r = value_percentiles(df, "value", ["g"]).collect()[0]
+    assert r["n"] == 4
+    assert r["p50"] == pytest.approx(2.5)
+    assert r["p95"] == pytest.approx(3.85)
+    assert r["p99"] == pytest.approx(3.97)
