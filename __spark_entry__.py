@@ -183,7 +183,28 @@ def _events_with_lines(
         .when(k < 55, F.lit('FATAL:  password authentication failed for user "u1"'))
         .otherwise(F.lit("LOG:  checkpoint complete"))
     )
+    # D10 url variants: case-variant scheme/host, default-port, trailing
+    # slash, tracking params, fragments — each axis flips on a different
+    # modulus so canonicalization collapses constructed groups
+    url_line = F.concat(
+        F.when(k % 2 == 0, F.lit("http://")).otherwise(F.lit("HTTP://")),
+        F.lit("Host"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(k % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Page/"),
+        (F.col("user_id") % 10).cast("string"),
+        F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            k % 4 == 0, F.concat(F.lit("?utm_source=t&item="), k.cast("string"))
+        )
+        .when(k % 4 == 1, F.concat(F.lit("?item="), k.cast("string")))
+        .when(k % 4 == 2, F.lit("?utm_only=1"))
+        .otherwise(F.lit("")),
+        F.when(k % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
     line_cols = {
+        "url_line": url_line,
         "sev_line": sev_line,
         "dur_line": dur_line,
         "kv_line": kv_line,
@@ -203,6 +224,16 @@ def _events_with_lines(
 
 _LINES_SQL = f"""
     SELECT *,
+      (CASE WHEN k % 2 = 0 THEN 'http://' ELSE 'HTTP://' END)
+        || 'Host' || CAST(event_id % 7 AS VARCHAR) || '.Example.COM'
+        || (CASE WHEN k % 5 = 0 THEN ':80' ELSE '' END)
+        || '/Page/' || CAST(user_id % 10 AS VARCHAR)
+        || (CASE WHEN k % 3 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN k % 4 = 0 THEN '?utm_source=t&item=' || CAST(k AS VARCHAR)
+                 WHEN k % 4 = 1 THEN '?item=' || CAST(k AS VARCHAR)
+                 WHEN k % 4 = 2 THEN '?utm_only=1'
+                 ELSE '' END)
+        || (CASE WHEN k % 6 = 0 THEN '#sec' ELSE '' END) AS url_line,
       CASE
         WHEN k < 20 THEN 'LOG:  checkpoint starting ERROR: nested'
         WHEN k < 40 THEN upper(event_type) || ':  message text'
@@ -634,6 +665,22 @@ def q_w1_latest_per_user(spark, sf_dir):
         ev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def q_d10_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup over constructed crawl-style URL variants
+    (case, default port, trailing slash, tracking params, fragments):
+    map-only regex canonicalization + one uniform-key group. The oracle
+    restates both the construction and the 8-rule canonicalization (RE2
+    ``\\1`` backrefs + 'g' flag vs Java ``$1``; same semantics)."""
+    from pgweasel_spark.operators.urls import url_dedup
+
+    ev = _events_with_lines(spark, sf_dir, only=["url_line"])
+    return url_dedup(
+        ev.select("event_id", "url_line"),
+        url_col="url_line",
+        key_col="event_id",
     )
 
 
@@ -1084,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_latest_per_user": q_w1_latest_per_user,
         "w2_sessions": q_w2_sessions,
         "a5_duration_pct": q_a5_duration_pct,
+        "d10_url_dedup": q_d10_url_dedup,
         "d1_dedup_exact": q_d1_dedup_exact,
         "d2_dedup_norm": q_d2_dedup_norm,
         "d3_minhash_sigs": q_d3_minhash_sigs,
@@ -1144,6 +1192,31 @@ _SIMHASH_CTE = f"""
       FROM hs
     )
 """
+
+
+def _duck_canonical_url(col: str) -> str:
+    """DuckDB restatement of urls.canonical_url — identical 8-rule chain
+    (RE2 ``\\1`` backrefs and explicit 'g' flags where Spark's
+    regexp_replace is implicitly global)."""
+    e = f"regexp_replace({col}, '#.*$', '')"
+    p = f"regexp_extract({e}, '^[^/?#]*//[^/?#]*')"
+    e = f"(lower({p}) || substr({e}, length({p}) + 1))"
+    e = (
+        f"regexp_replace({e}, '^(http://[^/:?#]+):80(/|\\?|$)', '\\1\\2')"
+    )
+    e = (
+        f"regexp_replace({e}, '^(https://[^/:?#]+):443(/|\\?|$)', "
+        "'\\1\\2')"
+    )
+    e = (
+        f"regexp_replace({e}, "
+        "'([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\\1', 'g')"
+    )
+    e = f"regexp_replace({e}, '([?&])&+', '\\1', 'g')"
+    e = f"regexp_replace({e}, '/\\?', '?', 'g')"
+    e = f"regexp_replace({e}, '[?&]+$', '')"
+    e = f"regexp_replace({e}, '/$', '')"
+    return e
 
 
 def _duck_ivf_cents() -> str:
@@ -1418,6 +1491,13 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "d10_url_dedup": f"""
+            WITH lines AS ({_LINES_SQL})
+            SELECT {_duck_canonical_url('url_line')} AS canonical_url,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   MIN(event_id) AS keeper
+            FROM lines GROUP BY 1 ORDER BY 1
         """,
         "w2_sessions": """
             WITH o AS (

@@ -742,3 +742,43 @@ def test_value_percentiles_exact_interpolation(spark):
     assert r["p50"] == pytest.approx(2.5)
     assert r["p95"] == pytest.approx(3.85)
     assert r["p99"] == pytest.approx(3.97)
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from pgweasel_spark.operators.urls import canonical_url, url_dedup
+
+    cases = {
+        "HTTP://Example.COM:80/Path/?utm_source=x&id=3#frag":
+            "http://example.com/Path?id=3",
+        "http://example.com/Path?id=3": "http://example.com/Path?id=3",
+        "https://Host.org:443/a/b/": "https://host.org/a/b",
+        "http://h/?utm_a=1&utm_b=2&x=3": "http://h?x=3",
+        "http://h/?utm_a=1&fbclid=zz": "http://h",
+        "http://h/": "http://h",
+        "http://h": "http://h",
+        "http://h:8080/x": "http://h:8080/x",  # non-default port kept
+        "relative/path#f": "relative/path",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select(
+            "u", canonical_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    assert got == cases
+    # dedup groups: the first two variants collapse to one keeper
+    dd = spark.createDataFrame(
+        [(1, "HTTP://Example.COM:80/Path/?utm_source=x&id=3#frag"),
+         (2, "http://example.com/Path?id=3"),
+         (3, "http://other.com/")],
+        "doc_id long, url string",
+    )
+    groups = {
+        r["canonical_url"]: (r["cnt"], r["keeper"])
+        for r in url_dedup(dd).collect()
+    }
+    assert groups["http://example.com/Path?id=3"] == (2, 1)
+    assert groups["http://other.com"] == (1, 3)
