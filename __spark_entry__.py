@@ -684,6 +684,30 @@ def q_d10_url_dedup(spark, sf_dir):
     )
 
 
+def q_h3_rollup(spark, sf_dir):
+    """Multi-level aggregate via ROLLUP (event_type, day): per-day,
+    per-type subtotal, and grand-total rows in ONE pass — Catalyst
+    expands the grouping sets into a single shuffle with partial
+    aggregation, vs three separate jobs. grouping_id disambiguates
+    subtotal rows from genuine NULL keys (ANSI semantics, shared by
+    DuckDB's GROUPING())."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("event_type", "day", "gid", "cnt", "sum_value")
+        .orderBy("gid", "event_type", "day")
+    )
+
+
 def q_w2_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min gap): lag → prefix-sum session
     numbering inside one window shuffle, then per-session aggregate. The
@@ -1132,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_sessions": q_w2_sessions,
         "a5_duration_pct": q_a5_duration_pct,
         "d10_url_dedup": q_d10_url_dedup,
+        "h3_rollup": q_h3_rollup,
         "d1_dedup_exact": q_d1_dedup_exact,
         "d2_dedup_norm": q_d2_dedup_norm,
         "d3_minhash_sigs": q_d3_minhash_sigs,
@@ -1498,6 +1523,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS cnt,
                    MIN(event_id) AS keeper
             FROM lines GROUP BY 1 ORDER BY 1
+        """,
+        "h3_rollup": """
+            WITH e AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+              FROM events
+            )
+            SELECT event_type, day,
+                   CAST(GROUPING(event_type, day) AS INT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   round(SUM(value), 6) AS sum_value
+            FROM e GROUP BY ROLLUP(event_type, day)
+            ORDER BY 3, 1, 2
         """,
         "w2_sessions": """
             WITH o AS (
