@@ -684,6 +684,17 @@ def q_d10_url_dedup(spark, sf_dir):
     )
 
 
+def q_a6_error_peaks(spark, sf_dir):
+    """Error-rate peak buckets (the REAL implementation of the
+    reference's declared-but-stub ``peaks``): hourly error buckets whose
+    count exceeds mean + 2·stddev, with z-scores. Stats are a broadcast
+    two-row aggregate, not a single-partition window."""
+    from pgweasel_spark.operators.aggregates import bucket_peaks
+
+    buckets = q_a2_errors_hist(spark, sf_dir)
+    return bucket_peaks(buckets, z_threshold=2.0).orderBy("bucket_ts")
+
+
 def q_h3_rollup(spark, sf_dir):
     """Multi-level aggregate via ROLLUP (event_type, day): per-day,
     per-type subtotal, and grand-total rows in ONE pass — Catalyst
@@ -1157,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_duration_pct": q_a5_duration_pct,
         "d10_url_dedup": q_d10_url_dedup,
         "h3_rollup": q_h3_rollup,
+        "a6_error_peaks": q_a6_error_peaks,
         "d1_dedup_exact": q_d1_dedup_exact,
         "d2_dedup_norm": q_d2_dedup_norm,
         "d3_minhash_sigs": q_d3_minhash_sigs,
@@ -1345,6 +1357,18 @@ def oracle_sql() -> dict[str, str]:
         "a3_slow_top": """
             SELECT event_id, value FROM events
             ORDER BY value DESC, event_id ASC LIMIT 10
+        """,
+        "a6_error_peaks": """
+            WITH b AS (
+              SELECT date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS cnt
+              FROM events WHERE event_type = 'error' GROUP BY 1
+            ), s AS (
+              SELECT AVG(cnt) AS mu, stddev_samp(cnt) AS sigma FROM b
+            )
+            SELECT b.bucket_ts, b.cnt,
+                   round((b.cnt - s.mu) / s.sigma, 6) AS z
+            FROM b, s WHERE b.cnt > s.mu + 2.0 * s.sigma
+            ORDER BY b.bucket_ts
         """,
         "a4_connections": """
             SELECT

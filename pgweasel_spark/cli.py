@@ -264,8 +264,29 @@ def main(argv=None):
         for r in agg.connections_buckets(logp).collect():
             print(f"  {r['cnt']:>6}  {r['bucket_ts']}")
     elif cmd == "peaks":
-        # declared-but-stub in the reference (src/main.rs:147-149)
-        print("Not implemented")
+        # declared-but-stub in the reference (src/main.rs:147-149 prints
+        # "Not implemented"); here the engine computes it: hourly error
+        # buckets whose count exceeds mean + 2*stddev, with z-scores
+        err = ev.where(
+            (F.col("severity_num") >= route.MIN_SEV_ERRORS)
+            & F.col("event_ts").isNotNull()
+        )
+        buckets = err.groupBy(
+            F.date_trunc("hour", "event_ts").alias("bucket_ts")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        rows = (
+            agg.bucket_peaks(buckets, z_threshold=2.0)
+            .orderBy("bucket_ts")
+            .collect()
+        )
+        print("Error-rate peak buckets (count > mean + 2*stddev):")
+        if not rows:
+            print("  (none)")
+        for r in rows:
+            print(
+                f"  {r['bucket_ts']:%Y-%m-%d %H:%M:%S}  cnt={r['cnt']}"
+                f"  z={r['z']}"
+            )
     else:
         ap.error(f"unknown command {args.command}")
 

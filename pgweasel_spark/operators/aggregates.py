@@ -231,3 +231,37 @@ def value_percentiles(
         )
         .orderBy(*group_cols)
     )
+
+
+def bucket_peaks(
+    buckets: DataFrame,
+    cnt_col: str = "cnt",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Peak detection over a bucketed count frame (the real
+    implementation behind the reference's declared-but-stub ``peaks``
+    subcommand, main.rs:147-149): flag buckets whose count exceeds
+    mean + z·stddev, annotated with the z-score.
+
+    Scale shape: the corpus-wide mean/stddev is a TWO-ROW aggregate
+    broadcast back over the buckets — not a single-partition window (an
+    ``over ()`` window would funnel every bucket through one task; the
+    broadcast join keeps the pass embarrassingly parallel no matter how
+    many buckets a year of logs produces)."""
+    stats = buckets.agg(
+        F.avg(cnt_col).alias("_mu"),
+        F.stddev(cnt_col).alias("_sigma"),
+    )
+    return (
+        buckets.crossJoin(F.broadcast(stats))
+        .where(
+            F.col(cnt_col)
+            > F.col("_mu") + F.lit(z_threshold) * F.col("_sigma")
+        )
+        .select(
+            *buckets.columns,
+            F.round(
+                (F.col(cnt_col) - F.col("_mu")) / F.col("_sigma"), 6
+            ).alias("z"),
+        )
+    )

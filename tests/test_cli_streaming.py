@@ -89,12 +89,13 @@ def test_cli_slow_top(spark, webtext_dir):
     assert "--- 25.761ms ---" in out
 
 
-def test_cli_stub_commands(spark, webtext_dir):
-    # `peaks` stays a parity stub (src/main.rs:147-149); `stats` is wired
-    # to the six aggregate tables the engine computes (round-3)
-    assert "Not implemented" in _run_cli(
-        ["peaks", "--input", webtext_dir]
-    )
+def test_cli_peaks_reports_buckets(spark, webtext_dir):
+    # both reference stubs (src/main.rs:147-149) are now real reports:
+    # `stats` prints the six aggregate tables, `peaks` prints the
+    # error-rate peak buckets (mean + 2*stddev gate, z-scores)
+    out = _run_cli(["peaks", "--input", webtext_dir])
+    assert "Error-rate peak buckets" in out
+    assert "Not implemented" not in out
 
 
 def test_cli_stats_reports_all_sections(spark, webtext_dir):
