@@ -797,3 +797,37 @@ def test_value_percentiles_approx_path(spark):
     assert approx["n"] == exact["n"] == 1000
     for c in ("p50", "p95", "p99"):
         assert abs(approx[c] - exact[c]) <= 10  # within 1% of the range
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) on a seeded random corpus
+    of component-composed URLs — the invariant that lets pipelines store
+    canonical forms and re-canonicalize mixed data safely."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pgweasel_spark.operators.urls import canonical_url
+
+    rng = random.Random(31)
+    schemes = ["http://", "HTTP://", "https://", "HtTpS://"]
+    hosts = ["Example.COM", "h", "a.b.ORG:80", "x.io:443", "y.z:8080"]
+    paths = ["", "/", "/A/b", "/A/b/", "/p%20q"]
+    queries = [
+        "", "?x=1", "?utm_source=a", "?utm_a=1&x=2&utm_b=3",
+        "?x=1&&y=2", "?fbclid=9&gclid=8",
+    ]
+    frags = ["", "#f", "#a#b"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    out = df.select(
+        canonical_url(F.col("u")).alias("c1"),
+    ).select(
+        "c1", canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
