@@ -247,7 +247,11 @@ def bucket_peaks(
     broadcast back over the buckets — not a single-partition window (an
     ``over ()`` window would funnel every bucket through one task; the
     broadcast join keeps the pass embarrassingly parallel no matter how
-    many buckets a year of logs produces)."""
+    many buckets a year of logs produces). The bucket frame feeds BOTH
+    the stats aggregate and the join; it is materialized first
+    (localCheckpoint — buckets are tiny) so the upstream scan+aggregate
+    runs once (AQE defeats plain exchange reuse, the d5b lesson)."""
+    buckets = buckets.localCheckpoint()
     stats = buckets.agg(
         F.avg(cnt_col).alias("_mu"),
         F.stddev(cnt_col).alias("_sigma"),

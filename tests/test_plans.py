@@ -274,3 +274,21 @@ def test_bucket_gemm_lsh_plan_single_pandas_group(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucket_peaks_single_upstream_computation(spark):
+    """bucket_peaks feeds the bucket frame to both the stats aggregate
+    and the join; the upstream scan+aggregate must run once (checkpointed
+    leaf), not once per branch (AQE defeats plain exchange reuse)."""
+    from pgweasel_spark.operators import aggregates as agg_mod
+
+    ev = spark.createDataFrame(
+        [(i % 5, 1) for i in range(50)], "bucket int, x int"
+    )
+    buckets = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    plan = _plan(agg_mod.bucket_peaks(buckets))
+    # both branches read the materialized leaf — no recomputation of the
+    # bucket aggregation (zero HashAggregate over the raw input rows
+    # beyond what the checkpoint already ran)
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("HashAggregate") <= 4  # stats partial+final only
