@@ -798,10 +798,16 @@ def near_dup_groups(
         .distinct()
         .localCheckpoint()
     )
+    # initialize each node's label with min(self, direct neighbors) —
+    # the first propagation hop for free (every node appears as `a`
+    # because edges are materialized in both directions), so most
+    # banded near-dup clusters need only the confirming round
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("_nb"))
+        .select(
+            "id", F.least(F.col("id"), F.col("_nb")).alias("label")
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):
