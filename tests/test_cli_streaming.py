@@ -471,3 +471,26 @@ def test_cli_missing_input_clean_error(capsys):
         cli.main(["errors", "top", "--input", "/tmp/definitely_missing_x"])
     assert e.value.code == 2
     assert "does not exist" in capsys.readouterr().err
+
+
+def test_zip_member_size_guard(spark, tmp_path, monkeypatch):
+    """A zip member decompressing past the cap must fail loudly (the
+    zip-bomb guard), and pass untouched under the cap."""
+    import io
+    import zipfile
+
+    from pgweasel_spark.sources import webtext
+
+    zpath = str(tmp_path / "logs.zip")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("big.log", "2025-05-22 15:15:09.392 UTC LOG:  x\n" * 10)
+    open(zpath, "wb").write(buf.getvalue())
+
+    monkeypatch.setattr(webtext, "_MAX_ZIP_MEMBER_BYTES", 50)
+    with pytest.raises(Exception, match="exceeds"):
+        webtext.read_zip_logs(spark, zpath).count()
+
+    monkeypatch.setattr(webtext, "_MAX_ZIP_MEMBER_BYTES", 1 << 20)
+    rows = webtext.read_zip_logs(spark, zpath).collect()
+    assert len(rows) == 1 and rows[0]["url"].endswith("!big.log")
