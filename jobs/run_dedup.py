@@ -79,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         n_bands=args.n_bands,
     )
     pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
+    sig.unpersist()
 
     groups = near_dup_groups(
         spark.read.parquet(os.path.join(args.out, "pairs"))

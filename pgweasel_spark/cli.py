@@ -50,6 +50,13 @@ _UNIT_S = {
 }
 
 
+def has_uri_scheme(path: str) -> bool:
+    """True when ``path`` carries a URI scheme (s3a://, hdfs://, ...) —
+    such paths are resolvable only by Spark's filesystem layer, so the
+    CLI's local-existence pre-flight must not reject them."""
+    return re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) is not None
+
+
 def parse_time_arg(value: str, now: datetime | None = None) -> datetime:
     """P10 relative-time grammar (src/util.rs:33-169): intervals are 'ago'
     (positive) / future (explicit minus), `today`, ISO timestamps,
@@ -160,8 +167,10 @@ def main(argv=None):
     import os as _os
 
     # clean error before any Spark startup: the reference prints a clear
-    # message on a bad path instead of a stack trace
-    if not (
+    # message on a bad path instead of a stack trace. Only local paths
+    # (no URI scheme) are pre-checked — s3a://, hdfs://, file: etc. are
+    # resolvable only by Spark's own filesystem layer.
+    if not has_uri_scheme(args.input) and not (
         _os.path.exists(args.input) or _glob.glob(args.input)
     ):
         ap.exit(2, f"error: input path does not exist: {args.input}\n")
@@ -251,7 +260,8 @@ def main(argv=None):
             print(f"  {r['cnt']:>6}  {r['bucket_ts']:%Y-%m-%d %H:%M:%S}")
         print("== slow top ==")
         for r in agg.slow_top(logp, 5).collect():
-            print(f"{r['duration_ms']:>12}ms  {r['raw'].splitlines()[0][:100]}")
+            first = (r["raw"].splitlines() or [""])[0][:100]
+            print(f"{r['duration_ms']:>12}ms  {first}")
         t = agg.connections_totals(logp).collect()[0]
         print("== connections ==")
         print(f"Total connection attempts: {t['connection_attempts']}")

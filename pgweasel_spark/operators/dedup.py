@@ -49,17 +49,33 @@ def shingles_from_words(words_col: str, n: int) -> Column:
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    members_cap: int | None = None,
+) -> DataFrame:
     """Exact dedup: content-hash groups, keep min key. One shuffle on the
-    64-hex hash (uniform — no skew)."""
-    return (
-        df.groupBy(F.md5(text_col).alias("content_hash"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(key_col).alias("keeper"),
-            F.collect_set(key_col).alias("members"),
+    64-hex hash (uniform — no skew).
+
+    Default output is ``(content_hash, cnt, keeper)`` — all a dedup
+    decision needs, with O(1) per-group state. Pass ``members_cap=K`` to
+    additionally collect up to K member keys per group (smallest K, for
+    audit samples). An UNCAPPED collect_set is a scale hazard the
+    operator deliberately refuses to offer: one boilerplate page
+    duplicated 10⁹ times at crawl scale would put a 10⁹-element array on
+    a single reducer."""
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(key_col).alias("keeper"),
+    ]
+    if members_cap is not None:
+        aggs.append(
+            F.slice(
+                F.sort_array(F.collect_set(key_col)), 1, members_cap
+            ).alias("members")
         )
-    )
+    return df.groupBy(F.md5(text_col).alias("content_hash")).agg(*aggs)
 
 
 def normalized_text(text: Column) -> Column:
@@ -80,15 +96,18 @@ def minhash_signatures(
     """MinHash signatures: per permutation j, min over shingles of a
     seeded hash. Seeded md5 keeps the scheme engine-portable (same oracle
     in DuckDB); swap for xxhash64 when raw speed matters more than
-    cross-engine parity."""
-    sh = F.expr(
-        f"array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {shingle_n}),"
-        " i -> concat_ws(' ', "
-        + ", ".join(f"split({text_col}, ' ')[i+{j}]" for j in range(shingle_n))
-        + ")))"
-    )
-    base = df.where(F.size(words(F.col(text_col))) >= shingle_n).select(
-        key_col, sh.alias("_sh")
+    cross-engine parity.
+
+    The text is split ONCE into a words attribute and shingles are
+    slices of that array (shingles_from_words) — the inline per-element
+    split() re-evaluation shape is O(words²·n) per doc and was measured
+    ~4x slower on the d8 scan."""
+    base = (
+        df.select(key_col, words(F.col(text_col)).alias("_w"))
+        .where(F.size("_w") >= shingle_n)
+        .select(
+            key_col, shingles_from_words("_w", shingle_n).alias("_sh")
+        )
     )
     sig_cols = [
         F.array_min(
@@ -107,7 +126,19 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature (rows = band_size) and self-join on band keys:
     docs sharing any full band become candidate pairs. The join is on the
-    band hash — co-located, no cross product."""
+    band hash — co-located, no cross product.
+
+    The signature frame is persisted (memory+disk) before the band
+    self-join unless the caller already cached it: without that, AQE
+    defeats exchange reuse and the n_perm md5-min folds — the dominant
+    map cost — run once per join side (the exact d5b round-2 bug, fixed
+    there in round 3; plan-gated for both paths in
+    test_minhash_signature_computed_once)."""
+    from pyspark import StorageLevel
+
+    lvl = sigs.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = n_perm // band_size
     banded = sigs.select(
         key_col,
@@ -157,18 +188,21 @@ def minhash_dedup(
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
-    pairs → exact Jaccard verification on candidates only."""
+    pairs → exact Jaccard verification on candidates only.
+
+    The signature frame is persisted inside lsh_candidate_pairs (one
+    fold computation, both band-join sides read cache); the verify-stage
+    shingle frame is persisted here for the same reason — it is joined
+    twice (doc1 and doc2 sides) and uses the pre-split words shape."""
+    from pyspark import StorageLevel
+
     sigs = minhash_signatures(df, text_col, key_col, n_perm)
     cands = lsh_candidate_pairs(sigs, key_col, n_perm, band_size)
-    sh = df.select(
-        F.col(key_col),
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(0, size(split({text_col}, ' ')) - 3),"
-                f" i -> concat_ws(' ', split({text_col}, ' ')[i],"
-                f" split({text_col}, ' ')[i+1], split({text_col}, ' ')[i+2]))"
-            )
-        ).alias("_sh"),
+    sh = (
+        df.select(F.col(key_col), words(F.col(text_col)).alias("_w"))
+        .where(F.size("_w") >= 3)
+        .select(key_col, shingles_from_words("_w", 3).alias("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     j = (
         cands.join(sh.withColumnRenamed(key_col, "doc1").withColumnRenamed("_sh", "sh1"), "doc1")
@@ -294,11 +328,25 @@ def ngram_jaccard_near_dups(
     into a per-block cross product when one block dominates — with a
     band-bucketed equi-key a skewed block still shuffles into ~size/10
     disjoint buckets. Each pair is emitted once (only the left side
-    explodes; the right side's own bucket is unique)."""
-    sh = shingles(text_col, shingle_n)
-    base = df.where(
-        F.size(words(F.col(text_col))) >= shingle_n
-    ).select(key_col, block_col, size_col, sh.alias("sh"))
+    explodes; the right side's own bucket is unique).
+
+    Shingles use the pre-split words shape (one split per doc, grams as
+    array slices) and the shingle frame is persisted so the two join
+    sides read 1 computation, not 2."""
+    from pyspark import StorageLevel
+
+    base = (
+        df.select(
+            key_col, block_col, size_col,
+            words(F.col(text_col)).alias("_w"),
+        )
+        .where(F.size("_w") >= shingle_n)
+        .select(
+            key_col, block_col, size_col,
+            shingles_from_words("_w", shingle_n).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bucket = F.floor(F.col(size_col) / band_width)
     a = base.select(
         key_col,
@@ -681,6 +729,14 @@ def embedding_near_dups(
     banding in lsh_candidate_pairs."""
     if engine not in ("auto", "hof", "gemm"):
         raise ValueError(f"unknown engine {engine!r}")
+    if engine == "auto":
+        # the GEMM kernels order pairs with np.minimum/np.maximum and
+        # emit `doc1 long`, so they require an integral id; auto falls
+        # back to the HOF path for other id types (explicit
+        # engine='gemm' keeps the loud TypeError)
+        id_type = df.schema[id_col].dataType.simpleString()
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            engine = "hof"
     if lsh_planes is None and engine in ("auto", "gemm"):
         return embedding_near_dups_blocked(
             df, threshold=threshold, vec_col=vec_col, id_col=id_col

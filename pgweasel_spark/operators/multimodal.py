@@ -261,6 +261,10 @@ def parse_pnm(payload: bytes):
         tokens.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte separates header and raster
     w, h, maxval = tokens
+    if w < 1 or h < 1 or maxval < 1:
+        # a zero/negative dimension would otherwise surface as an opaque
+        # numpy IndexError in pnm_resize / NaN means in pnm_decode
+        raise ValueError("bad PNM dimensions")
     if maxval > 255:
         raise ValueError("16-bit PNM not supported")
     c = 3 if payload[:2] == b"P6" else 1

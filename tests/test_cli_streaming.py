@@ -473,6 +473,20 @@ def test_cli_missing_input_clean_error(capsys):
     assert "does not exist" in capsys.readouterr().err
 
 
+def test_cli_uri_scheme_skips_local_preflight():
+    """Paths with a URI scheme (s3a://, hdfs://, file:) must not be
+    rejected by the local-existence pre-flight — only Spark's own
+    filesystem layer can resolve them (round-3 ADVICE: the os.path check
+    broke every CLI command against remote storage)."""
+    assert cli.has_uri_scheme("s3a://bucket/prefix/*.parquet")
+    assert cli.has_uri_scheme("hdfs://nn:8020/data")
+    assert cli.has_uri_scheme("file:///tmp/x")
+    assert not cli.has_uri_scheme("/tmp/definitely_missing_x")
+    assert not cli.has_uri_scheme("relative/dir")
+    # windows-style drive letters are not schemes
+    assert not cli.has_uri_scheme("C:/data")
+
+
 def test_zip_member_size_guard(spark, tmp_path, monkeypatch):
     """A zip member decompressing past the cap must fail loudly (the
     zip-bomb guard), and pass untouched under the cap."""

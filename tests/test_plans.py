@@ -186,6 +186,44 @@ def test_simhash_sig_col_reuse_no_recompute(spark):
         sig.unpersist()
 
 
+def test_minhash_signature_computed_once(spark):
+    """lsh_candidate_pairs must persist the signature frame so the
+    n_perm md5-min folds (the dominant map cost) run once — both band
+    self-join sides read the cache, never recompute (the same round-2
+    d5b bug, fixed there in round 3; this gates the MinHash twin)."""
+    from pgweasel_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df)
+    out = dedup.lsh_candidate_pairs(sigs)
+    plan = _plan(out)
+    # the persisted InMemoryRelation prints its defining plan (with the
+    # 8 array_min signature folds) once; both join sides are cache reads
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("array_min") <= 8
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_shingles_computed_once(spark):
+    """d4's shingle frame must be persisted: both sides of the bucketed
+    pair join read the cached (key, block, size, shingles) rows instead
+    of re-splitting + re-slicing the text per side."""
+    from pgweasel_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c", "s", 20 + i) for i in range(20)],
+        "doc_id long, text string, source string, n_chars int",
+    )
+    plan = _plan(dedup.ngram_jaccard_near_dups(df))
+    assert plan.count("InMemoryTableScan") >= 2
+    # one defining-plan print of the gram builder, not one per side
+    assert plan.count("concat_ws") <= 1
+
+
 def test_blocked_gemm_plan_single_pandas_group(spark):
     """The exact blocked-GEMM engine is one explode + one grouped-pandas
     node — no pair-join at all, and only the groupBy exchange."""

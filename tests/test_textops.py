@@ -30,8 +30,18 @@ def test_exact_dedup(docs):
     dup = [r for r in out if r["cnt"] == 2]
     assert len(dup) == 1
     assert dup[0]["keeper"] == 0
-    assert sorted(dup[0]["members"]) == [0, 2]
+    # default schema is bounded-state (hash, cnt, keeper) — no members
+    assert set(out[0].asDict()) == {"content_hash", "cnt", "keeper"}
     assert len(groups) == 5
+
+
+def test_exact_dedup_members_capped(docs):
+    out = dedup.exact_dedup(docs, members_cap=1).collect()
+    dup = [r for r in out if r["cnt"] == 2][0]
+    assert dup["members"] == [0]  # smallest member only, capped at 1
+    full = dedup.exact_dedup(docs, members_cap=10).collect()
+    dup_full = [r for r in full if r["cnt"] == 2][0]
+    assert dup_full["members"] == [0, 2]
 
 
 def test_minhash_lsh_finds_near_dup(docs):
@@ -283,19 +293,29 @@ def test_embedding_near_dups_engines_agree(spark):
 
 
 def test_embedding_near_dups_rejects_string_ids(spark):
-    """The GEMM kernel needs integral ids (np.minimum ordering + long
-    output schema) — a string id must fail loudly, not lexicographically."""
+    """Explicit engine='gemm' needs integral ids (np.minimum ordering +
+    long output schema) — a string id must fail loudly, not
+    lexicographically. engine='auto' instead falls back to the HOF path
+    for non-integral ids (round-3 ADVICE: auto previously raised)."""
     e = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
         "vec_id string, embedding array<float>",
     )
     with pytest.raises(TypeError, match="integral"):
-        dedup.embedding_near_dups(e, threshold=0.5)
+        dedup.embedding_near_dups(e, threshold=0.5, engine="gemm")
     # the HOF reference engine handles non-numeric ids
     rows = dedup.embedding_near_dups(
         e, threshold=0.5, engine="hof"
     ).collect()
     assert [(r["doc1"], r["doc2"]) for r in rows] == [("a", "b")]
+    # auto routes string ids to the HOF path instead of raising
+    auto = dedup.embedding_near_dups(e, threshold=0.5).collect()
+    assert [(r["doc1"], r["doc2"]) for r in auto] == [("a", "b")]
+    # auto + lsh_planes with string ids also takes the HOF bucket path
+    auto_lsh = dedup.embedding_near_dups(
+        e, threshold=0.5, lsh_planes=2, dim=2
+    ).collect()
+    assert [(r["doc1"], r["doc2"]) for r in auto_lsh] == [("a", "b")]
 
 
 def test_textstats(docs):
@@ -665,6 +685,11 @@ def test_pnm_decode_real_pixels(spark):
     # truncated raster fails loudly
     with pytest.raises(ValueError):
         multimodal.parse_pnm(b"P6\n4 4\n255\n\x00")
+    # zero/negative dimensions fail with the header ValueError, not an
+    # opaque numpy IndexError downstream in pnm_resize/pnm_decode
+    for bad in (b"P6\n0 4\n255\n", b"P6\n4 0\n255\n", b"P5\n2 1\n0\n"):
+        with pytest.raises(ValueError, match="bad PNM dimensions"):
+            multimodal.parse_pnm(bad)
 
 
 def test_pnm_decode_through_spark_operators(spark):
