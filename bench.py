@@ -160,6 +160,11 @@ def main():
             n = df.count()
             query_times[name] = round(time.time() - t0, 3)
             _ = n
+            # queries that persist intermediates (d5b/d9 signature
+            # frames, minhash shingles) cannot unpersist before
+            # returning their plan; drop the cache here so repeated
+            # query runs in one session don't accumulate cached RDDs
+            spark.catalog.clearCache()
 
     result = {
         "metric": "parsed-events/sec end-to-end (parse→enrich→route→aggregate)",

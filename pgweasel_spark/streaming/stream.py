@@ -135,6 +135,7 @@ def streaming_exact_dedup(
     docs: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup — the incremental counterpart of
     ``dedup.exact_dedup`` for a continuously-arriving corpus: every doc
@@ -145,15 +146,36 @@ def streaming_exact_dedup(
     the (uniform) md5 — the same partitioning the batch operator
     shuffles on, so no skew. On a long-running 10^12-doc stream the
     state store (RocksDB on a real cluster) holds one entry per unique
-    document; bound it with a TTL timeout if the dedup horizon is
-    finite. Within one micro-batch the min ``key_col`` wins, matching
-    the batch operator's keeper choice."""
+    document; an infinite-horizon crawl therefore grows state without
+    bound. ``state_ttl_ms`` is the finite-horizon configuration a
+    production crawl runs: each content hash's keeper entry is dropped
+    after that much processing time without a re-occurrence
+    (ProcessingTimeTimeout; the TTL clock is re-armed every batch the
+    hash appears in, so live boilerplate stays deduped while one-off
+    content ages out). A hash re-seen after expiry is treated as
+    first-seen — the standard sliding-horizon dedup trade. Within one
+    micro-batch the min ``key_col`` wins, matching the batch operator's
+    keeper choice.
+
+    Trigger interaction (measured on Spark 4.1 local mode): with armed
+    processing-time timeouts, ``trigger(availableNow=True)`` keeps
+    scheduling micro-batches after the data is exhausted (pending
+    timeouts count as outstanding work) and the query never terminates.
+    Batch-incremental runs of the TTL configuration must use
+    ``trigger(once=True)`` — one batch per invocation, expiry processed
+    at the start of the next run — or a continuous trigger on a
+    long-lived stream."""
     import pandas as pd  # noqa: F401 (worker-side)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # TTL expiry callback: no new rows for this hash this batch
+            # — drop the keeper entry and emit nothing
+            state.remove()
+            return
         ids = []
         for pdf in pdfs:
             ids.extend(int(v) for v in pdf[key_col])
@@ -163,6 +185,9 @@ def streaming_exact_dedup(
         else:
             keeper = ids[0]
             state.update((keeper,))
+        if state_ttl_ms is not None:
+            # timeouts must be re-registered every batch the key fires
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
                 "doc_id": ids,
@@ -175,10 +200,15 @@ def streaming_exact_dedup(
     hashed = docs.select(
         F.col(key_col), F.md5(F.col(text_col)).alias("content_hash")
     )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return hashed.groupBy("content_hash").applyInPandasWithState(
         update,
         outputStructType=DEDUP_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

@@ -418,6 +418,77 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert not out2[13]["is_duplicate"]
 
 
+def test_streaming_dedup_ttl_expires_state(spark, tmp_path):
+    """The finite-horizon configuration (state_ttl_ms): a content hash
+    not re-seen within the TTL must LEAVE the state store (bounded
+    state on an infinite crawl), and a re-occurrence after expiry is
+    treated as first-seen."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgweasel_spark.streaming import stream
+
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    ckpt = str(tmp_path / "ckpt_ttl")
+    outdir = str(tmp_path / "ttl_out")
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def write_batch(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       os.path.join(indir, name))
+
+    def run_once():
+        docs = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(indir)
+        )
+        out = stream.streaming_exact_dedup(docs, state_ttl_ms=1500)
+        # trigger(once=True), NOT availableNow: with armed
+        # processing-time timeouts availableNow keeps scheduling
+        # micro-batches and never terminates (see streaming_exact_dedup
+        # docstring)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress
+        n_state = (
+            prog["stateOperators"][0]["numRowsTotal"]
+            if prog and prog.get("stateOperators")
+            else None
+        )
+        rows = spark.read.parquet(outdir).collect()
+        return n_state, {r["doc_id"]: r for r in rows}
+
+    write_batch("b1.parquet", [
+        {"doc_id": 10, "text": "alpha beta"},
+        {"doc_id": 12, "text": "unique one"},
+    ])
+    n1, out1 = run_once()
+    assert n1 == 2  # one keeper entry per distinct hash
+    assert not out1[10]["is_duplicate"]
+
+    _time.sleep(3.5)  # let both entries pass the 1.5s TTL
+    write_batch("b2.parquet", [{"doc_id": 20, "text": "fresh text"}])
+    n2, _ = run_once()
+    # expired keys removed by the timeout callback; only the new hash
+    assert n2 == 1
+
+    # a hash re-seen AFTER expiry is first-seen again (horizon trade)
+    write_batch("b3.parquet", [{"doc_id": 21, "text": "alpha beta"}])
+    _, out3 = run_once()
+    assert not out3[21]["is_duplicate"]
+    assert out3[21]["keeper"] == 21
+
+
 def test_run_dedup_job_entry(spark, tmp_path):
     """jobs/run_dedup.py drives gate -> exact -> pairs -> groups and
     emits one JSON summary line (the ship-path contract for the

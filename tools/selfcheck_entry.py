@@ -134,6 +134,9 @@ def main():
             print(f"FAIL  {name}: {'; '.join(problems)} [{el:.1f}s]")
         else:
             print(f"OK    {name}: {len(srows)} rows [{el:.1f}s]")
+        # queries that persist intermediates (d5b/d9/d11) can't
+        # unpersist before returning; drop cache between queries
+        spark.catalog.clearCache()
 
     print()
     if failures:
