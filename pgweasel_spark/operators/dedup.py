@@ -191,18 +191,32 @@ def minhash_dedup(
     pairs → exact Jaccard verification on candidates only.
 
     The signature frame is persisted inside lsh_candidate_pairs (one
-    fold computation, both band-join sides read cache); the verify-stage
-    shingle frame is persisted here for the same reason — it is joined
-    twice (doc1 and doc2 sides) and uses the pre-split words shape."""
+    fold computation, both band-join sides read cache). The verify
+    stage computes shingles ONLY for docs that appear in some candidate
+    pair: candidates are persisted (small — the banding already
+    filtered), their ids deduped, and the corpus semi-joined down
+    before the shingle projection. At toy scale this costs ~1s of
+    fixed stage overhead vs shingling the whole corpus (measured 3.0s
+    vs 1.9s at sf0.1), but it is the only shape that survives 10^12
+    docs: the corpus-wide alternative shuffles every doc's full shingle
+    array through BOTH verify joins, while this one moves only the
+    candidate set."""
     from pyspark import StorageLevel
 
     sigs = minhash_signatures(df, text_col, key_col, n_perm)
-    cands = lsh_candidate_pairs(sigs, key_col, n_perm, band_size)
+    cands = lsh_candidate_pairs(sigs, key_col, n_perm, band_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand_ids = (
+        cands.select(F.col("doc1").alias(key_col))
+        .union(cands.select(F.col("doc2").alias(key_col)))
+        .distinct()
+    )
     sh = (
-        df.select(F.col(key_col), words(F.col(text_col)).alias("_w"))
+        df.join(cand_ids, key_col)
+        .select(F.col(key_col), words(F.col(text_col)).alias("_w"))
         .where(F.size("_w") >= 3)
         .select(key_col, shingles_from_words("_w", 3).alias("_sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     j = (
         cands.join(sh.withColumnRenamed(key_col, "doc1").withColumnRenamed("_sh", "sh1"), "doc1")
@@ -331,10 +345,12 @@ def ngram_jaccard_near_dups(
     explodes; the right side's own bucket is unique).
 
     Shingles use the pre-split words shape (one split per doc, grams as
-    array slices) and the shingle frame is persisted so the two join
-    sides read 1 computation, not 2."""
-    from pyspark import StorageLevel
-
+    array slices). The shingle frame is deliberately NOT persisted even
+    though both join sides evaluate it: caching the full string-array
+    shingle column costs more than recomputing the (now cheap)
+    pre-split projection — measured 0.61s cached vs 0.29s recomputed
+    at sf0.1, and at crawl scale the cache footprint is the whole
+    corpus × n grams."""
     base = (
         df.select(
             key_col, block_col, size_col,
@@ -345,7 +361,6 @@ def ngram_jaccard_near_dups(
             key_col, block_col, size_col,
             shingles_from_words("_w", shingle_n).alias("sh"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bucket = F.floor(F.col(size_col) / band_width)
     a = base.select(

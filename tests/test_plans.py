@@ -208,10 +208,15 @@ def test_minhash_signature_computed_once(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ngram_jaccard_shingles_computed_once(spark):
-    """d4's shingle frame must be persisted: both sides of the bucketed
-    pair join read the cached (key, block, size, shingles) rows instead
-    of re-splitting + re-slicing the text per side."""
+def test_ngram_jaccard_uses_presplit_shingles(spark):
+    """d4's shingles must be built from ONE split per doc (array slices
+    over a pre-split words attribute), never the inline shape that
+    re-evaluates split() per gram element — O(words²·n) per doc. Gate:
+    split() appears at most twice per join side (once in the pushed
+    size filter + once in the _w projection, CSE'd by codegen), never
+    inside the gram-builder transform lambda. (Persisting the shingle
+    frame was measured 2x SLOWER than recomputing the pre-split
+    projection, so recompute-per-side is the intended shape.)"""
     from pgweasel_spark.operators import dedup
 
     df = spark.createDataFrame(
@@ -219,9 +224,8 @@ def test_ngram_jaccard_shingles_computed_once(spark):
         "doc_id long, text string, source string, n_chars int",
     )
     plan = _plan(dedup.ngram_jaccard_near_dups(df))
-    assert plan.count("InMemoryTableScan") >= 2
-    # one defining-plan print of the gram builder, not one per side
-    assert plan.count("concat_ws") <= 1
+    assert plan.count("split(") <= 4
+    assert "CartesianProduct" not in plan
 
 
 def test_blocked_gemm_plan_single_pandas_group(spark):
