@@ -1153,6 +1153,29 @@ def q_d6b_embed_neardup_lsh(spark, sf_dir):
     return embedding_near_dups(e, threshold=0.4, lsh_planes=8, dim=64)
 
 
+def q_d12_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by seeded 60-bit md5
+    fraction (operators/sampling.py): stable under corpus growth,
+    map-only (no shuffle, no sampling pass), engine-portable — the
+    DuckDB oracle restates the hash digit-by-digit and applies the
+    identical thresholds."""
+    from pgweasel_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d).select("doc_id", "split").orderBy("doc_id")
+
+
+def q_t8_vocab_topk(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams by occurrence count
+    (vocabulary / boilerplate mining). Partial-agg groupBy on the
+    uniform gram key + TakeOrderedAndProject; deterministic
+    (cnt DESC, gram ASC) tie-break so both engines agree exactly."""
+    from pgweasel_spark.operators.textstats import vocab_top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_top_ngrams(d, n=2, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver's correctness harness
     oracle-checks the FIRST 50 entries only. Round-3 judge finding #1:
@@ -1215,10 +1238,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_lsh_ann": q_e2_lsh_ann,
         "e3_ivf_ann": q_e3_ivf_ann,
         "b1_binary_meta": q_b1_binary_meta,
-        # --- tail: oracle arithmetic redundantly covered in-window ---
+        # --- tail: oracle arithmetic redundantly covered in-window, or
+        # new this round (all tail queries are still value-checked by
+        # tools/selfcheck_entry.py; only the driver's 50-cap excludes
+        # them from CORRECTNESS_r{N}.json) ---
         "d5_simhash": q_d5_simhash,
         "r3_record_split": q_r3_record_split,
         "a4b_conn_buckets": q_a4b_conn_buckets,
+        "d12_hash_split": q_d12_hash_split,
+        "t8_vocab_topk": q_t8_vocab_topk,
     }
 
 
@@ -1328,6 +1356,13 @@ _SHINGLES_CTE = """
       WHERE len(w) >= 3
     )
 """
+
+
+from pgweasel_spark.operators.sampling import duck_hash_fraction_sql
+
+#: d12's [0,1) fraction restated for DuckDB (sampling.py is the single
+#: source of the per-character-shift form)
+_duck_split_frac = duck_hash_fraction_sql("doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1688,6 +1723,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc1, doc2, round(j, 4) AS jaccard
             FROM verified WHERE j >= 0.8 ORDER BY 1, 2
+        """,
+        "d12_hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_duck_split_frac} < 0.9 THEN 'train'
+                        WHEN {_duck_split_frac} < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "t8_vocab_topk": """
+            WITH w AS (
+              SELECT string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT unnest([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS gram
+              FROM w WHERE len(w) >= 2
+            )
+            SELECT gram, COUNT(*) AS cnt FROM g
+            GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 50
         """,
         "d5_simhash": _SIMHASH_CTE
         + """

@@ -1,0 +1,79 @@
+"""Deterministic sampling / split-assignment operators for training-data
+pipelines.
+
+A training corpus needs reproducible train/val/test membership that is
+(a) stable as the corpus grows (a doc's split never changes when new
+docs arrive), (b) shuffle-free (pure map-side — at 10^12 docs a split
+column must not cost an exchange), and (c) engine-portable so the
+assignment can be restated by any SQL engine auditing the pipeline.
+Random() fails all three; a seeded content/id hash mapped to [0, 1)
+satisfies them — the same scheme as the MinHash/SimHash seeded-md5
+hashes (operators/dedup.py), so DuckDB states the identical value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: top 15 hex chars of md5 as a 60-bit integer — identical scheme to
+#: dedup._WORD_HASH60; division by 2^60 gives an IEEE-exact uniform
+#: fraction (both engines compute bigint/2^60 in double).
+_HASH60_DEN = float(1 << 60)
+
+
+def _hash60(key_col: str, seed: str) -> Column:
+    return F.expr(
+        f"cast(conv(substr(md5(concat('{seed}|', cast({key_col} as string"
+        f"))), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def with_hash_fraction(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "u",
+) -> DataFrame:
+    """Attach the deterministic uniform fraction column (see module
+    docstring). Rounded to 9 digits for cross-engine hash equality."""
+    u = _hash60(key_col, seed) / F.lit(_HASH60_DEN)
+    return df.withColumn(out_col, F.round(u, 9))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "split",
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: u < train → 'train',
+    u < train + val → 'val', else 'test'. A doc's assignment depends
+    only on (seed, key) — stable under corpus growth and identical on
+    every engine. The split column is a pure projection: no shuffle,
+    no sampling pass, no state."""
+    u = _hash60(key_col, seed) / F.lit(_HASH60_DEN)
+    return df.withColumn(
+        "split",
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def duck_hash_fraction_sql(key_expr: str, seed: str = "split") -> str:
+    """DuckDB restatement of the [0, 1) fraction — per-character shifts
+    (integer-exact; pow() would lose precision above 2^53), divided by
+    2^60 in double, same rounding."""
+    md5 = f"md5(concat('{seed}|', CAST({key_expr} AS VARCHAR)))"
+    h = (
+        "("
+        + " + ".join(
+            f"((strpos('0123456789abcdef', substr({md5}, {i}, 1)) - 1)"
+            f"::BIGINT << {4 * (15 - i)})"
+            for i in range(1, 16)
+        )
+        + ")"
+    )
+    return f"({h} / {_HASH60_DEN:.1f})"

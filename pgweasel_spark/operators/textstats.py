@@ -228,3 +228,33 @@ def gopher_gate(
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
+
+
+def vocab_top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count (vocabulary /
+    boilerplate mining — the corpus-statistics sibling of the per-doc
+    repetition gates). Counts EVERY occurrence, not distinct-per-doc.
+
+    Scale shape: one split per doc (pre-split words attribute), gram
+    explode is map-only, the count is a partial-aggregated groupBy on
+    the (uniform) gram key, and the top-k is TakeOrderedAndProject —
+    never a full sort. Ties broken (cnt DESC, gram ASC) so the result
+    is a deterministic total order on every engine."""
+    grams = F.expr(
+        f"transform(sequence(0, size(_w) - {n}),"
+        f" i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+    )
+    return (
+        df.select(words(F.col(text_col)).alias("_w"))
+        .where(F.size("_w") >= n)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(k)
+    )

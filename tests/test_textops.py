@@ -856,3 +856,62 @@ def test_canonical_url_idempotent(spark):
     ).collect()
     bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """Split assignment must be a pure function of (seed, key): same
+    result across invocations, unchanged when new rows arrive, and the
+    fractions roughly respect the configured proportions."""
+    from pgweasel_spark.operators import sampling
+
+    base = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in sampling.hash_split(base).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in sampling.hash_split(base).collect()}
+    assert s1 == s2
+    # growth stability: the first 2000 docs keep their assignment
+    grown = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s3 = {r["doc_id"]: r["split"] for r in sampling.hash_split(grown).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    # proportions near 90/5/5 (md5 uniformity; wide tolerance)
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert c["val"] > 0 and c["test"] > 0
+    # a different seed reshuffles membership
+    s4 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(base, seed="other").collect()
+    }
+    assert s4 != s1
+
+
+def test_hash_split_is_map_only(spark):
+    """The split column must be a pure projection — no exchange in the
+    plan (at 10^12 docs a split assignment cannot cost a shuffle)."""
+    from pgweasel_spark.operators import sampling
+
+    df = sampling.hash_split(
+        spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+
+
+def test_vocab_top_ngrams(spark):
+    """Counts every occurrence (not distinct-per-doc), deterministic
+    tie-break, top-k honored."""
+    from pgweasel_spark.operators.textstats import vocab_top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    rows = vocab_top_ngrams(df, n=2, k=3).collect()
+    assert [(r["gram"], r["cnt"]) for r in rows] == [
+        ("a b", 4),   # 3 in doc1 + 1 in doc2
+        ("b a", 2),
+        ("b c", 1),   # ties at 1 broken alphabetically
+    ]
