@@ -1153,6 +1153,28 @@ def q_d6b_embed_neardup_lsh(spark, sf_dir):
     return embedding_near_dups(e, threshold=0.4, lsh_planes=8, dim=64)
 
 
+def q_t9_quality_gate(spark, sf_dir):
+    """Per-source quantile quality gate (textstats.quantile_quality_gate):
+    keep docs at/above their own source's 25th-percentile stopword
+    ratio — per-domain quality normalization, the curation move an
+    absolute threshold can't express. One partial-agg groupBy for the
+    per-group threshold + a broadcast join back; the corpus side stays
+    map-only. Spark's exact percentile = ANSI PERCENTILE_CONT = DuckDB
+    quantile_cont (the a5 precedent), so the gate is fully
+    value-checked."""
+    from pgweasel_spark.operators.textstats import quantile_quality_gate
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_words())
+    n_stop = F.size(F.filter(_words(), lambda w: w.isin(*STOPWORDS_EN)))
+    scored = d.select(
+        "doc_id", "source", F.round(n_stop / n_tokens, 4).alias("score")
+    )
+    return quantile_quality_gate(
+        scored, score_col="score", group_col="source", q=0.25
+    ).orderBy("doc_id")
+
+
 def q_d12_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by seeded 60-bit md5
     fraction (operators/sampling.py): stable under corpus growth,
@@ -1247,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4b_conn_buckets": q_a4b_conn_buckets,
         "d12_hash_split": q_d12_hash_split,
         "t8_vocab_topk": q_t8_vocab_topk,
+        "t9_quality_gate": q_t9_quality_gate,
     }
 
 
@@ -1880,6 +1903,24 @@ def oracle_sql() -> dict[str, str]:
                                    for x in string_split(text, ' ')])
                          / len(string_split(text, ' ')), 3) AS avg_token_len
             FROM documents
+        """,
+        "t9_quality_gate": f"""
+            WITH q AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id, source,
+                     round(len(list_filter(w, x -> x IN {_sql_in(STOPWORDS_EN)}))
+                           / CAST(len(w) AS DOUBLE), 4) AS score
+              FROM q
+            ), th AS (
+              SELECT source, quantile_cont(score, 0.25) AS th
+              FROM s GROUP BY 1
+            )
+            SELECT s.doc_id, s.source, s.score,
+                   round(th.th, 6) AS group_threshold,
+                   s.score >= th.th AS keep
+            FROM s JOIN th USING (source) ORDER BY s.doc_id
         """,
         "t2_quality": f"""
             WITH q AS (

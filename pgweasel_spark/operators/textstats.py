@@ -258,3 +258,38 @@ def vocab_top_ngrams(
         .orderBy(F.col("cnt").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def quantile_quality_gate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    q: float = 0.25,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile quality gate: keep docs whose ``score_col`` is
+    at or above their group's q-th percentile — per-domain quality
+    normalization (an absolute threshold over-prunes weak domains and
+    under-prunes strong ones; cutting each group's own bottom tail is
+    the standard curation move).
+
+    Scale shape: one partial-aggregated groupBy computes a single
+    threshold row per group (Spark's exact ``percentile`` — the ANSI
+    PERCENTILE_CONT definition, cross-engine checkable; swap
+    ``approx_percentile`` for unbounded group cardinality, same trade
+    as aggregates.value_percentiles), then an explicitly-broadcast join
+    tags every doc — the corpus side stays map-only, no second
+    shuffle."""
+    th = df.groupBy(group_col).agg(
+        F.expr(f"percentile({score_col}, {q}D)").alias("_th")
+    )
+    return (
+        df.join(F.broadcast(th), group_col)
+        .select(
+            key_col,
+            group_col,
+            F.col(score_col),
+            F.round("_th", 6).alias("group_threshold"),
+            (F.col(score_col) >= F.col("_th")).alias("keep"),
+        )
+    )

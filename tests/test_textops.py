@@ -915,3 +915,30 @@ def test_vocab_top_ngrams(spark):
         ("b a", 2),
         ("b c", 1),   # ties at 1 broken alphabetically
     ]
+
+
+def test_quantile_quality_gate(spark):
+    """Each group's own bottom quartile is cut: a score that survives in
+    a weak group must fail in a strong one, and the threshold join stays
+    broadcast (corpus side map-only)."""
+    rows = (
+        [(i, "weak", float(i)) for i in range(8)]        # scores 0..7
+        + [(100 + i, "strong", 10.0 + i) for i in range(8)]  # 10..17
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = textstats.quantile_quality_gate(
+        df, score_col="score", group_col="source", q=0.25
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # q=0.25 over 8 values interpolates at rank 1.75 -> 1.75
+    assert got[0]["group_threshold"] == 1.75
+    assert not got[0]["keep"] and not got[1]["keep"]
+    assert got[2]["keep"]  # 2.0 >= 1.75
+    # same absolute score (11.0) keeps in weak terms but the strong
+    # group judges it against ITS OWN threshold (11.75)
+    assert got[101]["group_threshold"] == 11.75
+    assert not got[101]["keep"] and got[102]["keep"]
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
