@@ -130,6 +130,126 @@ DEDUP_SCHEMA = (
 )
 DEDUP_STATE_SCHEMA = "keeper bigint"
 
+NEARDUP_SCHEMA = "doc_id bigint, match_id bigint, hamming int"
+NEARDUP_STATE_SCHEMA = "ids array<bigint>, shs array<bigint>"
+
+
+def streaming_simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    per_bucket_cap: int = 256,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming SimHash near-dup detection — the incremental
+    counterpart of ``dedup.simhash_near_dups``: each arriving doc is
+    checked against previously-seen docs and emitted as
+    ``(doc_id, match_id, hamming)`` for every near-match, ACROSS
+    micro-batches ("has a near-copy of this page been crawled
+    before?").
+
+    Shape mirrors the batch operator exactly: the 60-bit signature is
+    computed JVM-side (simhash60 — the map stage), each doc explodes
+    into ``n_bands`` (band, bval) keys, and state lives per band
+    BUCKET via ``applyInPandasWithState`` — a pair is compared only if
+    it shares a band (pigeonhole: total recall for
+    ``max_hamming < n_bands``), never all-pairs. Within a bucket the
+    state is the recent (id, signature) list, explicitly BOUNDED two
+    ways: ``per_bucket_cap`` FIFO-evicts the oldest entries (16
+    bytes/doc/band; total state ≤ buckets × cap), and
+    ``state_ttl_ms`` drops idle buckets wholesale
+    (ProcessingTimeTimeout, same trigger(once) interaction as
+    streaming_exact_dedup). Eviction trades recall against ancient
+    documents for a hard state bound — the standard streaming
+    near-dup horizon trade.
+
+    A pair sharing multiple bands emits once per shared band
+    (candidate-multiset semantics); run ``.dropDuplicates()`` on the
+    output sink if exact-once pairs matter downstream. Docs arriving
+    in the SAME micro-batch are compared in ascending ``key_col``
+    order, so in-batch pairs emit deterministically (larger id
+    reports the match)."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pgweasel_spark.operators.dedup import SIMHASH_BITS, simhash60
+
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, shs = list(state.get[0]), list(state.get[1])
+        else:
+            ids, shs = [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(d), int(s)) for d, s in zip(pdf[key_col], pdf["sh"])
+            )
+        rows.sort()
+        out_doc, out_match, out_ham = [], [], []
+        for did, sh in rows:
+            for mid, msh in zip(ids, shs):
+                h = bin(sh ^ msh).count("1")
+                if h <= max_hamming:
+                    out_doc.append(did)
+                    out_match.append(mid)
+                    out_ham.append(h)
+            ids.append(did)
+            shs.append(sh)
+            if len(ids) > per_bucket_cap:
+                del ids[: len(ids) - per_bucket_cap]
+                del shs[: len(shs) - per_bucket_cap]
+        state.update((ids, shs))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out_doc, dtype="int64"),
+                "match_id": pd.array(out_match, dtype="int64"),
+                "hamming": pd.array(out_ham, dtype="int32"),
+            }
+        )
+
+    sigs = docs.select(F.col(key_col), simhash60(text_col).alias("sh"))
+    banded = sigs.select(
+        key_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(sh >> {band_bits * b}) & {mask}"
+                        ).alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, "sh", "bb.band", "bb.bval")
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("band", "bval").applyInPandasWithState(
+        update,
+        outputStructType=NEARDUP_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
 
 def streaming_exact_dedup(
     docs: DataFrame,

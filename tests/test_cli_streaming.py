@@ -579,3 +579,125 @@ def test_zip_member_size_guard(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(webtext, "_MAX_ZIP_MEMBER_BYTES", 1 << 20)
     rows = webtext.read_zip_logs(spark, zpath).collect()
     assert len(rows) == 1 and rows[0]["url"].endswith("!big.log")
+
+
+def test_streaming_simhash_near_dups(spark, tmp_path):
+    """Cross-batch near-dup detection must find exactly the pairs the
+    BATCH simhash operator finds on the same corpus (same banding, same
+    Hamming verify), and the per-bucket FIFO cap must bound state by
+    evicting the oldest entries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgweasel_spark.operators import dedup
+    from pgweasel_spark.streaming import stream
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    ).split()
+    texts = {}
+    for i in range(10):
+        ws = list(base)
+        if i:
+            ws[(7 * i) % len(ws)] = f"mut{i}"
+        texts[i] = " ".join(ws)
+    texts[100] = texts[0]  # exact dup, arrives in batch 2
+
+    indir = str(tmp_path / "nd_in")
+    os.makedirs(indir)
+    ckpt = str(tmp_path / "nd_ckpt")
+    outdir = str(tmp_path / "nd_out")
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def run_once():
+        docs = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(indir)
+        )
+        out = stream.streaming_simhash_near_dups(docs, max_hamming=3)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = [{"doc_id": i, "text": texts[i]} for i in sorted(texts) if i < 5]
+    b2 = [{"doc_id": i, "text": texts[i]} for i in sorted(texts) if i >= 5]
+    pq.write_table(pa.Table.from_pylist(b1, schema=schema),
+                   os.path.join(indir, "b1.parquet"))
+    run_once()
+    pq.write_table(pa.Table.from_pylist(b2, schema=schema),
+                   os.path.join(indir, "b2.parquet"))
+    run_once()
+
+    got = {
+        (min(r["doc_id"], r["match_id"]), max(r["doc_id"], r["match_id"]))
+        for r in spark.read.parquet(outdir).collect()
+    }
+    full = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    expected = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.simhash_near_dups(full, max_hamming=3).collect()
+    }
+    assert (0, 100) in expected
+    assert got == expected
+
+
+def test_streaming_simhash_cap_evicts_oldest(spark, tmp_path):
+    """per_bucket_cap=1: with three identical docs arriving in separate
+    batches, the third matches only the second (the first was evicted)
+    — state is hard-bounded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgweasel_spark.streaming import stream
+
+    indir = str(tmp_path / "cap_in")
+    os.makedirs(indir)
+    ckpt = str(tmp_path / "cap_ckpt")
+    outdir = str(tmp_path / "cap_out")
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    text = "the quick brown fox jumps over the lazy dog today"
+
+    def run_once():
+        docs = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(indir)
+        )
+        out = stream.streaming_simhash_near_dups(
+            docs, max_hamming=0, per_bucket_cap=1
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for i, name in enumerate(["c1", "c2", "c3"]):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": i, "text": text}], schema=schema
+            ),
+            os.path.join(indir, f"{name}.parquet"),
+        )
+        run_once()
+
+    pairs = {
+        (r["doc_id"], r["match_id"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert (1, 0) in pairs   # doc 1 saw doc 0
+    assert (2, 1) in pairs   # doc 2 saw doc 1
+    assert (2, 0) not in pairs  # doc 0 evicted before doc 2 arrived
