@@ -701,3 +701,65 @@ def test_streaming_simhash_cap_evicts_oldest(spark, tmp_path):
     assert (1, 0) in pairs   # doc 1 saw doc 0
     assert (2, 1) in pairs   # doc 2 saw doc 1
     assert (2, 0) not in pairs  # doc 0 evicted before doc 2 arrived
+
+
+def test_run_curate_job_entry(spark, tmp_path):
+    """The curation entry point composes gate -> per-source quantile ->
+    exact dedup -> split into one curated table: duplicates keep only
+    the keeper, gate failures drop, every surviving doc has a split."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.run_curate import main as curate_main
+
+    rows = [
+        {
+            "doc_id": i,
+            "source": "a" if i % 2 == 0 else "b",
+            # "the"/"and" are stopwords -> varying quality scores
+            "text": " ".join(
+                ["the", "and"] * (2 + i) + [f"tok{i}{j}" for j in range(20)]
+            ),
+        }
+        for i in range(8)
+    ]
+    rows.append({**rows[0], "doc_id": 100})  # exact dup of doc 0
+    rows.append({"doc_id": 101, "source": "a", "text": "tiny"})  # too_short
+    indir = str(tmp_path / "docs")
+    os.makedirs(indir)
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("source", pa.string()),
+                    ("text", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(indir, "part0.parquet"),
+    )
+    out = str(tmp_path / "cur_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_main(["--input", indir, "--out", out])
+    assert rc == 0
+    line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["rows"]["gate"] == 10
+    assert res["rows"]["exact"] == 9  # one exact-dup pair collapses
+    curated = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(os.path.join(out, "curated")).collect()
+    }
+    assert 101 not in curated          # gopher too_short
+    assert 100 not in curated          # dup: keeper is doc 0
+    assert 0 in curated
+    assert set(res["splits"]) <= {"train", "val", "test"}
+    assert sum(res["splits"].values()) == res["rows"]["curated"]
+    # quantile gate: each source's bottom quartile dropped, so curated
+    # is a strict subset of the gate survivors
+    assert res["rows"]["curated"] < 9
