@@ -52,12 +52,19 @@ def hash_split(
     u < train + val → 'val', else 'test'. A doc's assignment depends
     only on (seed, key) — stable under corpus growth and identical on
     every engine. The split column is a pure projection: no shuffle,
-    no sampling pass, no state."""
+    no sampling pass, no state.
+
+    The val boundary is rounded to 12 decimals so it equals the
+    decimal literal an auditing engine would state (Python's
+    0.9 + 0.05 is 0.9500000000000001 — a boundary one ulp off the
+    DuckDB oracle's 0.95 would misassign the ~dozen representable
+    u-values in between)."""
+    hi = round(train + val, 12)
     u = _hash60(key_col, seed) / F.lit(_HASH60_DEN)
     return df.withColumn(
         "split",
         F.when(u < train, F.lit("train"))
-        .when(u < train + val, F.lit("val"))
+        .when(u < hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
 
