@@ -111,15 +111,26 @@ _ALIASES = {
 def _base_events(args):
     spark = get_spark("pgweasel-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    pages = spark.read.parquet(args.input)
-    ev = parse_events(pages)
+    if args.input.rstrip("/").endswith((".json", ".jsonl")):
+        # S8 jsonlog: the reference exits with JsonNotYetImplemented
+        # (src/error.rs:34) on .json inputs; here the native NDJSON
+        # reader serves the identical event schema, so every subcommand
+        # works unchanged
+        from pgweasel_spark.sources.webtext import read_jsonlog
+
+        pages = None
+        ev = read_jsonlog(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
+        ev = parse_events(pages)
     if getattr(args, "debug", False):
         # reference parity: --debug/-d prints verbose processing info
         # (cli.rs:11); counts go to stderr so stdout stays pipeable
         import time as _time
 
         t0 = _time.time()
-        n_pages, n_events = pages.count(), ev.count()
+        n_pages = pages.count() if pages is not None else "-"
+        n_events = ev.count()
         print(
             f"[debug] pages={n_pages} parsed_events={n_events} "
             f"parse_wall={_time.time() - t0:.2f}s input={args.input}",

@@ -763,3 +763,116 @@ def test_run_curate_job_entry(spark, tmp_path):
     # quantile gate: each source's bottom quartile dropped, so curated
     # is a strict subset of the gate survivors
     assert res["rows"]["curated"] < 9
+
+
+def test_jsonlog_source_matches_stderr_twin(spark, tmp_path):
+    """S8 jsonlog (REAL here; the reference exits with
+    JsonNotYetImplemented): the same logical events written as jsonlog
+    and as stderr lines must parse to identical severity / ordinal /
+    timestamp / message / duration — so every downstream operator works
+    unchanged on either source."""
+    import json
+
+    events = [
+        {
+            "timestamp": "2025-06-03 12:46:07.920 EEST",
+            "error_severity": "ERROR",
+            "message": "division by zero",
+            "state_code": "22012",
+            "user": "alice",
+            "dbname": "shop",
+            "application_name": "psql",
+            "remote_host": "10.0.0.1",
+            "process_id": 123,
+        },
+        {
+            "timestamp": "2025-06-03 12:46:08.100 EEST",
+            "error_severity": "LOG",
+            "message": "duration: 5025.761 ms  statement: select 1",
+            "state_code": "00000",
+            "user": "bob",
+            "dbname": "app",
+            "application_name": "job",
+            "remote_host": "10.0.0.2",
+            "process_id": 124,
+        },
+    ]
+    jdir = tmp_path / "jl"
+    jdir.mkdir()
+    (jdir / "a.json").write_text(
+        "\n".join(json.dumps(e) for e in events) + "\nnot json at all\n"
+    )
+
+    from pgweasel_spark.operators.parse import parse_events
+    from pgweasel_spark.sources.webtext import read_jsonlog
+
+    got = read_jsonlog(spark, str(jdir)).orderBy("event_ts").collect()
+    # malformed line quarantined: nulls, raw preserved, never an abort
+    assert len(got) == 3
+    bad = [r for r in got if r["severity"] is None]
+    assert len(bad) == 1 and bad[0]["raw"] == "not json at all"
+
+    # stderr twins of the same two events
+    stderr_text = (
+        "2025-06-03 12:46:07.920 EEST [123] alice@shop ERROR:  "
+        "division by zero\n"
+        "2025-06-03 12:46:08.100 EEST [124] bob@app LOG:  "
+        "duration: 5025.761 ms  statement: select 1"
+    )
+    pages = spark.createDataFrame(
+        [("http://x/log.txt", None, stderr_text, None)],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    twin = {
+        r["message"]: r
+        for r in parse_events(pages).collect()
+    }
+    for r in got:
+        if r["severity"] is None:
+            continue
+        t = twin[r["message"]]
+        assert r["severity"] == t["severity"]
+        assert r["severity_num"] == t["severity_num"]
+        assert r["event_ts"] == t["event_ts"]
+        assert r["duration_ms"] == t["duration_ms"]
+    # jsonlog carries fields stderr has to kv-scan for
+    err = [r for r in got if r["severity"] == "error"][0]
+    assert (err["user"], err["db"], err["host"]) == (
+        "alice", "shop", "10.0.0.1"
+    )
+    assert err["sqlstate"] == "22012"
+
+    # downstream compatibility: routing works unchanged
+    from pgweasel_spark.operators import route
+
+    routed = route.explode_sinks(
+        route.sink_flags(read_jsonlog(spark, str(jdir)))
+    )
+    sinks = {r["sink"] for r in routed.collect()}
+    assert "errors" in sinks and "slow" in sinks
+
+
+def test_cli_serves_jsonlog_input(tmp_path):
+    """A .json --input routes through read_jsonlog: `errors top` works
+    on a raw PostgreSQL jsonlog file (the reference CLI exits with
+    JsonNotYetImplemented here)."""
+    import json
+
+    f = tmp_path / "pg.json"
+    rows = [
+        {
+            "timestamp": f"2025-06-03 12:00:0{i}.000 UTC",
+            "error_severity": "ERROR",
+            "message": "division by zero",
+            "state_code": "22012",
+            "user": "u",
+            "dbname": "d",
+            "application_name": "a",
+            "remote_host": "h",
+            "process_id": i,
+        }
+        for i in range(3)
+    ]
+    f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = _run_cli(["errors", "top", "--input", str(f)])
+    assert "     3  division by zero" in out
