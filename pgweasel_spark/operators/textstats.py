@@ -244,7 +244,13 @@ def vocab_top_ngrams(
     explode is map-only, the count is a partial-aggregated groupBy on
     the (uniform) gram key, and the top-k is TakeOrderedAndProject —
     never a full sort. Ties broken (cnt DESC, gram ASC) so the result
-    is a deterministic total order on every engine."""
+    is a deterministic total order on every engine. At extreme scale
+    the exact count's one shuffle carries ~the distinct-gram set; if
+    that dominates, the standard cut is a sampled first pass that
+    lower-bounds the k-th count and a map-side `cnt >= bound` filter
+    before the final agg (or a count-min sketch when approximate
+    counts suffice) — exact single-pass top-k cannot prune below an
+    unknown threshold."""
     grams = F.expr(
         f"transform(sequence(0, size(_w) - {n}),"
         f" i -> concat_ws(' ', slice(_w, i + 1, {n})))"

@@ -876,3 +876,34 @@ def test_cli_serves_jsonlog_input(tmp_path):
     f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
     out = _run_cli(["errors", "top", "--input", str(f)])
     assert "     3  division by zero" in out
+
+
+def test_jsonlog_reads_gzip(spark, tmp_path):
+    """S3 codec transparency holds for jsonlog too: a .json.gz file
+    parses identically (native text source decompresses)."""
+    import gzip
+    import json
+
+    line = json.dumps(
+        {
+            "timestamp": "2025-06-03 12:00:01.000 UTC",
+            "error_severity": "WARNING",
+            "message": "checkpoint too frequent",
+            "state_code": "01000",
+            "user": "u",
+            "dbname": "d",
+            "application_name": "a",
+            "remote_host": "h",
+            "process_id": 7,
+        }
+    )
+    f = tmp_path / "pg.json.gz"
+    with gzip.open(f, "wt") as fh:
+        fh.write(line + "\n")
+
+    from pgweasel_spark.sources.webtext import read_jsonlog
+
+    rows = read_jsonlog(spark, str(f)).collect()
+    assert len(rows) == 1
+    assert rows[0]["severity"] == "warning"
+    assert rows[0]["message"] == "checkpoint too frequent"

@@ -334,3 +334,16 @@ def test_bucket_peaks_single_upstream_computation(spark):
     # beyond what the checkpoint already ran)
     assert "Scan ExistingRDD" in plan
     assert plan.count("HashAggregate") <= 4  # stats partial+final only
+
+
+def test_vocab_topk_plan(spark):
+    """t8 must be partial-agg + TakeOrderedAndProject — never a global
+    sort of the full gram-count table."""
+    from pgweasel_spark.operators.textstats import vocab_top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    plan = _plan(vocab_top_ngrams(df, n=2, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
