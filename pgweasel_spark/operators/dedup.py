@@ -123,6 +123,7 @@ def lsh_candidate_pairs(
     key_col: str = "doc_id",
     n_perm: int = 8,
     band_size: int = 2,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Band the signature (rows = band_size) and self-join on band keys:
     docs sharing any full band become candidate pairs. The join is on the
@@ -133,12 +134,22 @@ def lsh_candidate_pairs(
     defeats exchange reuse and the n_perm md5-min folds — the dominant
     map cost — run once per join side (the exact d5b round-2 bug, fixed
     there in round 3; plan-gated for both paths in
-    test_minhash_signature_computed_once)."""
+    test_minhash_signature_computed_once).
+
+    Cache lifetime: the persisted handle outlives this call by design
+    (the returned plan reads it lazily), so long-lived sessions that
+    call this repeatedly should pass ``cache_registry`` — every frame
+    this call persists is appended to it, and the caller unpersists
+    after its action completes (see jobs/run_dedup.py). Without a
+    registry, ``spark.catalog.clearCache()`` between invocations is the
+    documented fallback (what bench.py and selfcheck do)."""
     from pyspark import StorageLevel
 
     lvl = sigs.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(sigs)
     n_bands = n_perm // band_size
     banded = sigs.select(
         key_col,
@@ -186,6 +197,7 @@ def minhash_dedup(
     n_perm: int = 8,
     band_size: int = 2,
     jaccard_threshold: float = 0.8,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
     pairs → exact Jaccard verification on candidates only.
@@ -200,13 +212,20 @@ def minhash_dedup(
     vs 1.9s at sf0.1), but it is the only shape that survives 10^12
     docs: the corpus-wide alternative shuffles every doc's full shingle
     array through BOTH verify joins, while this one moves only the
-    candidate set."""
+    candidate set.
+
+    Two frames are persisted per invocation (signatures + candidates);
+    pass ``cache_registry`` to receive the handles and unpersist them
+    once the returned plan has been materialized — repeated calls in a
+    long-lived session otherwise accumulate cached RDDs (ADVICE r4)."""
     from pyspark import StorageLevel
 
     sigs = minhash_signatures(df, text_col, key_col, n_perm)
-    cands = lsh_candidate_pairs(sigs, key_col, n_perm, band_size).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cands = lsh_candidate_pairs(
+        sigs, key_col, n_perm, band_size, cache_registry=cache_registry
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(cands)
     cand_ids = (
         cands.select(F.col("doc1").alias(key_col))
         .union(cands.select(F.col("doc2").alias(key_col)))

@@ -10,8 +10,14 @@ The reference's source surface maps almost entirely to Spark built-ins:
 - S4 zip source           → binaryFile scan + per-archive member explode
                             (read_zip_logs)
 - S5 format detection     → url extension → format column (operators/parse)
-- S8 JSON source          → stub, mirroring the reference's explicit
-                            JsonNotYetImplemented (src/error.rs:34)
+- S8 JSON source          → REAL (read_jsonlog): native NDJSON text scan +
+                            from_json in whole-stage codegen, emitting the
+                            same parsed-event schema as parse_events. The
+                            reference never implemented this — its CLI exits
+                            with JsonNotYetImplemented (src/error.rs:34) —
+                            so this source strictly exceeds reference
+                            coverage. .gz transparency comes free from the
+                            text reader's codec handling.
 """
 
 from __future__ import annotations

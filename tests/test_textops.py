@@ -57,6 +57,27 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert all(d1 != 3 and d2 != 3 for d1, d2 in found)
 
 
+def test_minhash_dedup_cache_registry(docs, spark):
+    """minhash_dedup persists two frames (signatures + candidates);
+    cache_registry hands both back so long-lived callers can unpersist
+    after materializing — without it, repeated invocations accumulate
+    cached RDDs (ADVICE r4)."""
+    spark.catalog.clearCache()
+    handles = []
+    out = dedup.minhash_dedup(
+        docs, jaccard_threshold=0.5, cache_registry=handles
+    )
+    out.count()  # materialize → both persists are live
+    assert len(handles) == 2
+    assert all(
+        h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles
+    )
+    for h in handles:
+        h.unpersist(blocking=True)
+    sc = spark.sparkContext
+    assert sc._jsc.getPersistentRDDs().size() == 0
+
+
 def test_minhash_signatures_deterministic(docs, spark):
     s1 = {
         r["doc_id"]: tuple(r[f"sig{j}"] for j in range(8))
