@@ -627,6 +627,69 @@ def test_embedding_near_dups_lsh_engines_agree(spark):
         assert gemm[k] == pytest.approx(v, abs=2e-6)
 
 
+def test_embedding_lsh_hot_bucket_is_salted_into_bounded_groups(spark):
+    """A bucket larger than max_group_rows must be salted into sub-block
+    PAIR groups — never one monolithic applyInPandas group (pandas groups
+    cannot spill; at crawl scale one boilerplate-heavy bucket would OOM a
+    worker). Plants 30 near-collinear vectors (identical sign pattern →
+    one LSH bucket) with cap 8 and asserts ≥2 groups, per-group row
+    bound, and a result identical to the uncapped single-group path and
+    the HOF engine."""
+    import random
+
+    from pgweasel_spark.operators.dedup import _bucket_subblock_pairs
+    from pgweasel_spark.operators.similarity import lsh_bucket
+
+    rng = random.Random(11)
+    # same direction up to tiny jitter → same sign pattern → one bucket
+    u = [rng.uniform(0.5, 1.0) for _ in range(16)]
+    rows = [
+        (i, [v * (1.0 + 0.001 * i) + rng.uniform(-1e-4, 1e-4) for v in u])
+        for i in range(30)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket("v", n_planes=6, dim=16))
+    assert base.select("bucket").distinct().count() == 1  # hot bucket
+
+    cap = 8
+    groups = (
+        _bucket_subblock_pairs(base, cap)
+        .groupBy("bucket", "pk.p1", "pk.p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(groups) >= 2  # the bucket was split, not monolithic
+    # cross groups hold two sub-blocks, self groups one — both bounded
+    # by ~2·cap (hash assignment is uniform, allow slack for variance)
+    assert max(r["n"] for r in groups) <= 3 * cap
+    # every row pair is covered exactly once: cross groups see both
+    # sub-blocks, and n_sub matches ceil(30 / 8) = 4 → 10 groups max
+    assert len(groups) <= 10
+
+    kw = dict(threshold=0.9, lsh_planes=6, dim=16)
+    capped = {
+        (r["doc1"], r["doc2"]): r["cosine_sim"]
+        for r in dedup.embedding_near_dups(
+            e, max_group_rows=cap, **kw
+        ).collect()
+    }
+    uncapped = {
+        (r["doc1"], r["doc2"]): r["cosine_sim"]
+        for r in dedup.embedding_near_dups(e, **kw).collect()
+    }
+    hof = {
+        (r["doc1"], r["doc2"]): r["cosine_sim"]
+        for r in dedup.embedding_near_dups(e, engine="hof", **kw).collect()
+    }
+    assert set(capped) == set(uncapped) == set(hof)
+    assert len(capped) == 30 * 29 // 2  # all near-collinear pairs found
+    for k, v in uncapped.items():
+        assert capped[k] == pytest.approx(v, abs=2e-6)
+
+
 def test_near_dup_groups_random_graphs_match_union_find(spark):
     """Distributed label propagation must equal a driver-side union-find
     on random pair graphs (varied density, incl. isolated pairs, stars
