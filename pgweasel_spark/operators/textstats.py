@@ -173,6 +173,59 @@ def pii_scrub(
     )
 
 
+#: first characters that mark a bullet line (Gopher/Dolma list-page
+#: heuristic) and the symbol pattern (hash or ellipsis occurrences)
+#: whose per-word ratio flags markup-heavy boilerplate
+BULLET_CHARS = ("-", "*", "•")
+SYMBOL_RE = r"#|\.\.\.|…"
+
+
+def _line_signal_cols(t: Column) -> list[Column]:
+    """Line-level Gopher/Dolma quality signals as map-only projections:
+    symbol-to-word ratio, bullet-start and ellipsis-end line fractions,
+    duplicate-line fraction and mean word length. Lines are the
+    non-blank ``\\n`` splits; words are dedup's single-space split (the
+    t5 oracle convention). All JVM higher-order functions — the signals
+    pipeline into the scan like every other extraction, no shuffle."""
+    from pgweasel_spark.operators.dedup import words as _w
+
+    ws = _w(t)
+    n_tokens = F.greatest(F.size(ws), F.lit(1))
+    lines = F.filter(
+        F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.trim(l), 1, 1).isin(*BULLET_CHARS),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    )
+    symbols = F.size(F.regexp_extract_all(t, F.lit(SYMBOL_RE), 0))
+    word_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return [
+        F.round(symbols / n_tokens, 4).alias("symbol_word_ratio"),
+        F.round(bullet / n_lines, 4).alias("bullet_line_frac"),
+        F.round(ellipsis / n_lines, 4).alias("ellipsis_line_frac"),
+        F.round(
+            F.when(
+                F.size(lines) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(word_chars / n_tokens, 4).alias("mean_word_len"),
+    ]
+
+
 def gopher_gate(
     df: DataFrame,
     text_col: str = "text",
@@ -180,35 +233,74 @@ def gopher_gate(
     min_tokens: int = 20,
     max_top_gram_frac: float = 0.1,
     max_dup_gram_frac: float = 0.2,
+    max_symbol_word_ratio: float | None = None,
+    max_bullet_line_frac: float | None = None,
+    max_ellipsis_line_frac: float | None = None,
+    max_dup_line_frac: float | None = None,
+    word_len_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Composite Gopher-style keep/drop gate: document length +
-    repetition occupancy in one verdict — the shape every training-data
-    pipeline runs between filtering and dedup.
+    repetition occupancy — plus, when enabled, the line-level
+    Gopher/Dolma signals — in one verdict; the shape every
+    training-data pipeline runs between filtering and dedup.
 
     Signals share ONE tokenization (dedup's single-space split, the t5
     oracle convention): ``n_tokens`` counts tokens; ``top_gram_frac`` /
     ``dup_gram_frac`` come from :func:`repetition_stats` (left join —
-    docs too short to have a bigram get 0.0). The verdict is
+    docs too short to have a bigram get 0.0). The five line-level
+    signals (symbol-to-word ratio, bullet-start / ellipsis-end line
+    fractions, duplicate-line fraction, mean word length — the rest of
+    the public Gopher filter set) are opt-in: each threshold is None by
+    default, so existing callers keep the exact legacy schema and
+    verdicts; passing any threshold adds the signal columns
+    (:func:`_line_signal_cols`) and its reject arm. The verdict is
     ``keep`` + a first-failing ``reason`` with fixed precedence
-    (too_short → top_gram → dup_gram → NULL), so downstream rejection
-    accounting is deterministic.
+    (too_short → top_gram → dup_gram → symbol_ratio → bullet_lines →
+    ellipsis_lines → dup_lines → word_len → NULL), so downstream
+    rejection accounting is deterministic.
 
     Scale shape: repetition_stats' two uniform-key shuffles + one
     equi-join back to the corpus keyed on ``key_col`` — no new skew
-    surface; the gate itself is map-only."""
+    surface; the gate itself and all line signals are map-only
+    projections computed in the same scan pass."""
     from pgweasel_spark.operators.dedup import words as _w
 
+    line_enabled = any(
+        p is not None
+        for p in (
+            max_symbol_word_ratio,
+            max_bullet_line_frac,
+            max_ellipsis_line_frac,
+            max_dup_line_frac,
+            word_len_range,
+        )
+    )
+    line_cols = _line_signal_cols(F.col(text_col)) if line_enabled else []
     base = df.select(
-        key_col, F.size(_w(F.col(text_col))).cast("long").alias("n_tokens")
+        key_col,
+        F.size(_w(F.col(text_col))).cast("long").alias("n_tokens"),
+        *line_cols,
     )
     rep = repetition_stats(df, text_col=text_col, key_col=key_col).select(
         key_col, "top_gram_frac", "dup_gram_frac"
+    )
+    line_names = (
+        [
+            "symbol_word_ratio",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "dup_line_frac",
+            "mean_word_len",
+        ]
+        if line_enabled
+        else []
     )
     j = base.join(rep, key_col, "left").select(
         key_col,
         "n_tokens",
         F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
         F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+        *line_names,
     )
     reason = (
         F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
@@ -218,13 +310,40 @@ def gopher_gate(
         .when(
             F.col("dup_gram_frac") > max_dup_gram_frac, F.lit("dup_gram")
         )
-        .otherwise(F.lit(None).cast("string"))
     )
+    if max_symbol_word_ratio is not None:
+        reason = reason.when(
+            F.col("symbol_word_ratio") > max_symbol_word_ratio,
+            F.lit("symbol_ratio"),
+        )
+    if max_bullet_line_frac is not None:
+        reason = reason.when(
+            F.col("bullet_line_frac") > max_bullet_line_frac,
+            F.lit("bullet_lines"),
+        )
+    if max_ellipsis_line_frac is not None:
+        reason = reason.when(
+            F.col("ellipsis_line_frac") > max_ellipsis_line_frac,
+            F.lit("ellipsis_lines"),
+        )
+    if max_dup_line_frac is not None:
+        reason = reason.when(
+            F.col("dup_line_frac") > max_dup_line_frac,
+            F.lit("dup_lines"),
+        )
+    if word_len_range is not None:
+        lo, hi = word_len_range
+        reason = reason.when(
+            (F.col("mean_word_len") < lo) | (F.col("mean_word_len") > hi),
+            F.lit("word_len"),
+        )
+    reason = reason.otherwise(F.lit(None).cast("string"))
     return j.select(
         key_col,
         "n_tokens",
         "top_gram_frac",
         "dup_gram_frac",
+        *line_names,
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
@@ -235,6 +354,7 @@ def vocab_top_ngrams(
     text_col: str = "text",
     n: int = 2,
     k: int = 100,
+    prefilter_sample: float | None = None,
 ) -> DataFrame:
     """Corpus-wide top-k word n-grams by occurrence count (vocabulary /
     boilerplate mining — the corpus-statistics sibling of the per-doc
@@ -244,26 +364,48 @@ def vocab_top_ngrams(
     explode is map-only, the count is a partial-aggregated groupBy on
     the (uniform) gram key, and the top-k is TakeOrderedAndProject —
     never a full sort. Ties broken (cnt DESC, gram ASC) so the result
-    is a deterministic total order on every engine. At extreme scale
-    the exact count's one shuffle carries ~the distinct-gram set; if
-    that dominates, the standard cut is a sampled first pass that
-    lower-bounds the k-th count and a map-side `cnt >= bound` filter
-    before the final agg (or a count-min sketch when approximate
-    counts suffice) — exact single-pass top-k cannot prune below an
-    unknown threshold."""
+    is a deterministic total order on every engine.
+
+    ``prefilter_sample`` is the extreme-scale cut (opt-in): a
+    deterministic-seed sample of ``prefilter_sample`` of the docs is
+    counted first, and the k-th largest SAMPLED count becomes a
+    threshold for the full pass. EXACTNESS IS PRESERVED BY
+    CONSTRUCTION: sampled counts never exceed true counts, so each of
+    the top-k sampled grams has true count >= its sampled count, hence
+    the true k-th-largest count >= the sampled k-th-largest B — every
+    true top-k gram passes ``cnt >= B``. The filter sits between the
+    full count and the ordering, shrinking the TakeOrderedAndProject
+    input from |vocab| to the few grams at/above B (the heap itself is
+    per-partition, so the win is the final-agg + ordering input, and
+    at 10^12 docs |vocab| is billions of grams). When the sample
+    yields fewer than k grams the bound degrades to 1 (no pruning,
+    still exact). One extra pass over the sampled fraction + one
+    driver-side scalar collect."""
     grams = F.expr(
         f"transform(sequence(0, size(_w) - {n}),"
         f" i -> concat_ws(' ', slice(_w, i + 1, {n})))"
     )
-    return (
-        df.select(words(F.col(text_col)).alias("_w"))
-        .where(F.size("_w") >= n)
-        .select(F.explode(grams).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("gram"))
-        .limit(k)
-    )
+
+    def counts(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(words(F.col(text_col)).alias("_w"))
+            .where(F.size("_w") >= n)
+            .select(F.explode(grams).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    full = counts(df)
+    if prefilter_sample is not None:
+        sampled_kth = (
+            counts(df.sample(fraction=prefilter_sample, seed=42))
+            .orderBy(F.col("cnt").desc(), F.col("gram"))
+            .limit(k)
+            .agg(F.when(F.count(F.lit(1)) >= k, F.min("cnt")).alias("b"))
+            .first()["b"]
+        )
+        full = full.where(F.col("cnt") >= int(sampled_kth or 1))
+    return full.orderBy(F.col("cnt").desc(), F.col("gram")).limit(k)
 
 
 def quantile_quality_gate(

@@ -303,7 +303,9 @@ def test_lsh_index_is_bucket_partitioned(spark, tmp_path):
 
 def test_bucket_gemm_lsh_plan_single_pandas_group(spark):
     """The LSH near-dup default engine is bucket → grouped-pandas GEMM:
-    one groupBy exchange, no pair join."""
+    a groupBy exchange plus ONE broadcast join of the tiny per-bucket
+    size frame (the sub-block salting bound, r5) — never a row-pair
+    join or cartesian product."""
     from pgweasel_spark.operators import dedup
 
     df = spark.createDataFrame(
@@ -314,7 +316,14 @@ def test_bucket_gemm_lsh_plan_single_pandas_group(spark):
         dedup.embedding_near_dups(df, threshold=0.5, lsh_planes=4, dim=4)
     )
     assert "FlatMapGroupsInPandas" in plan
-    assert "Join" not in plan
+    # the only join is the broadcast of the ≤2^n_planes-row bucket-size
+    # frame; a pair join would be a SortMergeJoin/ShuffledHashJoin on
+    # row keys or a cartesian product. (formatted plans print each node
+    # twice: tree + detail section)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -576,6 +576,104 @@ def test_gopher_gate_reason_precedence(spark):
     assert out[3]["dup_gram_frac"] > 0.9
 
 
+def test_vocab_topk_prefilter_is_exact(spark):
+    """The sampled lower-bound prefilter must return the IDENTICAL
+    top-k as the unpruned path (exactness is by construction: sampled
+    counts lower-bound true counts, so the sampled k-th count never
+    prunes a true top-k gram) — including when the sample is too small
+    to yield k grams (bound degrades to 1, still exact)."""
+    import random
+
+    from pgweasel_spark.operators.textstats import vocab_top_ngrams
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(60)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, frac in [(10, 0.3), (25, 0.5), (500, 0.2)]:
+        exact = [
+            tuple(r)
+            for r in vocab_top_ngrams(df, n=2, k=k).collect()
+        ]
+        pruned = [
+            tuple(r)
+            for r in vocab_top_ngrams(
+                df, n=2, k=k, prefilter_sample=frac
+            ).collect()
+        ]
+        assert pruned == exact, f"k={k} frac={frac}"
+
+
+def test_gopher_gate_line_level_signals(spark):
+    """Each line-level reject arm fires on its planted fixture, the
+    extended precedence holds (earlier arms win), and disabling the
+    line thresholds keeps the legacy schema byte-for-byte."""
+    from pgweasel_spark.operators.textstats import gopher_gate
+
+    clean_40 = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, clean_40),                                        # clean
+        # ≥20 tokens, heavy '#' markup → symbol_ratio
+        (1, " ".join(f"#t{i} word{i}" for i in range(15))),
+        # every line starts with a bullet → bullet_lines
+        (2, "\n".join(f"- item number {i} listed" for i in range(8))),
+        # most lines end with an ellipsis → ellipsis_lines (lines are
+        # long enough that the ellipses stay under the SYMBOL ratio,
+        # which by precedence would otherwise fire first)
+        (
+            3,
+            "\n".join(
+                f"teaser number {i} " + " ".join(["waiting"] * 9) + "..."
+                for i in range(8)
+            ),
+        ),
+        # the same line repeated → dup_lines
+        (4, "\n".join(["exactly the same line here"] * 10)),
+        # ≥20 tokens of 1-char words → word_len below range
+        (5, " ".join(["a"] * 30)),
+        # precedence: too_short beats every line arm
+        (6, "# short..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(
+        max_symbol_word_ratio=0.1,
+        max_bullet_line_frac=0.9,
+        max_ellipsis_line_frac=0.3,
+        max_dup_line_frac=0.3,
+        word_len_range=(2.0, 12.0),
+        # planted fixtures repeat words by construction; disable the
+        # repetition arms so the line arms are what's under test
+        max_top_gram_frac=1.1,
+        max_dup_gram_frac=1.1,
+    )
+    out = {r["doc_id"]: r for r in gopher_gate(df, **kw).collect()}
+    assert out[0]["reason"] is None and out[0]["keep"]
+    assert out[1]["reason"] == "symbol_ratio"
+    assert out[2]["reason"] == "bullet_lines"
+    assert out[2]["bullet_line_frac"] == 1.0
+    assert out[3]["reason"] == "ellipsis_lines"
+    assert out[4]["reason"] == "dup_lines"
+    assert out[4]["dup_line_frac"] == 0.9  # 1 - 1/10
+    assert out[5]["reason"] == "word_len"
+    assert out[5]["mean_word_len"] == 1.0
+    assert out[6]["reason"] == "too_short"
+    assert all(not out[i]["keep"] for i in range(1, 7))
+
+    # thresholds off → legacy schema, no line columns
+    legacy = gopher_gate(df)
+    assert legacy.columns == [
+        "doc_id",
+        "n_tokens",
+        "top_gram_frac",
+        "dup_gram_frac",
+        "keep",
+        "reason",
+    ]
+
+
 def test_simhash_build_index_roundtrip(spark, tmp_path):
     """The persisted signature table must feed simhash_near_dups via
     sig_col and reproduce the direct-computation pair set."""
