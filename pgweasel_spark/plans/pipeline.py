@@ -166,18 +166,38 @@ def run(
     slow_threshold_ms: float = route.DEFAULT_SLOW_THRESHOLD_MS,
     day_batch: int | None = None,
     with_stats: bool = True,
+    input_format: str = "parquet",
 ) -> PipelineResult:
     """Process all pending warc_day partitions, resumably.
 
     ``day_batch`` limits how many pending days are processed (tests use 1
     to simulate a kill + resume); default processes all pending days in a
     single write job.
+
+    ``input_format="jsonlog"`` routes a raw PostgreSQL jsonlog directory
+    (NDJSON, optionally .gz) through the identical day-batched writer:
+    ``read_jsonlog`` already emits the parse_events schema, so the only
+    adaptation is the batching timestamp — jsonlog lines carry no crawl
+    timestamp, so ``warc_ts`` (day partitioning + resume granularity)
+    is the event's own timestamp. Malformed lines (null event_ts after
+    quarantine) batch under the 1970-01-01 sentinel day rather than
+    being silently dropped — routed-row equality with the source holds.
     """
     t0 = time.time()
     manifest = Manifest.load(os.path.join(out_root, "manifest.json"))
     manifest.meta.setdefault("input_path", input_path)
 
-    pages = spark.read.parquet(input_path)
+    if input_format == "jsonlog":
+        from pgweasel_spark.sources.webtext import read_jsonlog
+
+        pages = read_jsonlog(spark, input_path).withColumn(
+            "warc_ts",
+            F.coalesce(
+                F.col("event_ts"), F.lit("1970-01-01").cast("timestamp")
+            ),
+        )
+    else:
+        pages = spark.read.parquet(input_path)
     all_days = sorted(
         r["d"]
         for r in pages.select(
@@ -199,7 +219,11 @@ def run(
 
         day_col = F.date_format(F.to_date("warc_ts"), "yyyy-MM-dd")
         batch_pages = pages.where(day_col.isin(pending))
-        events = enrich(parse_events(batch_pages))
+        events = enrich(
+            batch_pages
+            if input_format == "jsonlog"
+            else parse_events(batch_pages)
+        )
         # lineage input-rows (parsed records per day) via an Observation
         # on the parse output: collected DURING the write job — no second
         # pass over the 100 TB input, and correct even though the routed

@@ -62,6 +62,128 @@ def test_incremental_day_batches_match_full_run(spark, webtext_dir, tmp_path):
     assert inc2.count() == full.count()  # no duplicates
 
 
+def test_jsonlog_batch_pipeline_resume_matches_stderr_twin(
+    spark, tmp_path
+):
+    """A raw jsonlog directory routes through the batch pipeline
+    (input_format='jsonlog') without the CLI: day-batched kill/resume
+    works off the events' own timestamps, and per-sink routed counts
+    equal the stderr-twin corpus run through the parquet-pages path.
+    Malformed lines batch under the 1970-01-01 sentinel day instead of
+    being dropped."""
+    import json
+    from datetime import datetime
+
+    events, stderr_lines = [], []
+    for day in (3, 4):  # two warc days → two resume batches
+        for i in range(5):
+            ts = f"2025-06-{day:02d} 12:00:{i:02d}.000 UTC"
+            events.append(
+                {
+                    "timestamp": ts,
+                    "error_severity": "ERROR",
+                    "message": "division by zero",
+                    "state_code": "22012",
+                    "user": "u",
+                    "dbname": "d",
+                    "application_name": "a",
+                    "remote_host": "h",
+                    "process_id": i,
+                }
+            )
+            stderr_lines.append(
+                (day, f"{ts} [123] u@d ERROR:  division by zero")
+            )
+            events.append(
+                {
+                    "timestamp": ts,
+                    "error_severity": "LOG",
+                    "message": f"duration: 5025.{i} ms  statement: select {i}",
+                    "state_code": "00000",
+                    "user": "u",
+                    "dbname": "d",
+                    "application_name": "a",
+                    "remote_host": "h",
+                    "process_id": i,
+                }
+            )
+            stderr_lines.append(
+                (
+                    day,
+                    f"{ts} [124] u@d LOG:  duration: 5025.{i} ms "
+                    f" statement: select {i}",
+                )
+            )
+    jdir = tmp_path / "jl"
+    jdir.mkdir()
+    (jdir / "pg.json").write_text(
+        "\n".join(json.dumps(e) for e in events) + "\nnot json\n"
+    )
+
+    # stderr twin: one page per day, page warc_ts on the same day the
+    # events carry (so both pipelines batch identically)
+    pages = spark.createDataFrame(
+        [
+            (
+                f"http://twin/{day}.log",
+                datetime(2025, 6, day, 12, 0, 0),
+                "\n".join(l for d, l in stderr_lines if d == day),
+                None,
+            )
+            for day in (3, 4)
+        ],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    pdir = str(tmp_path / "pages")
+    pages.write.parquet(pdir)
+
+    out_twin = str(tmp_path / "out_twin")
+    res_twin = pipeline.run(spark, pdir, out_twin, with_stats=False)
+
+    # jsonlog path, one day per run (kill/resume) — 3 pending days:
+    # 2025-06-03, 2025-06-04 and the 1970-01-01 malformed sentinel
+    out_jl = str(tmp_path / "out_jl")
+    batches = []
+    for _ in range(10):
+        res = pipeline.run(
+            spark,
+            str(jdir),
+            out_jl,
+            day_batch=1,
+            with_stats=False,
+            input_format="jsonlog",
+        )
+        if not res.days_processed:
+            break
+        batches.extend(res.days_processed)
+    assert batches == ["1970-01-01", "2025-06-03", "2025-06-04"]
+
+    jl = spark.read.parquet(os.path.join(out_jl, "routed"))
+    twin = spark.read.parquet(os.path.join(out_twin, "routed"))
+    sentinel = jl.where(F.col("warc_day") == "1970-01-01")
+    assert sentinel.count() == 1  # the malformed line, quarantined
+    assert sentinel.first()["sink"] == "quarantine"
+
+    def sink_counts(df):
+        return {
+            r["sink"]: r["cnt"]
+            for r in df.groupBy("sink")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+    jl_counts = sink_counts(jl.where(F.col("warc_day") != "1970-01-01"))
+    twin_counts = sink_counts(twin)
+    assert jl_counts == twin_counts
+    assert res_twin.sink_counts["errors"] == jl_counts["errors"] == 10
+
+    # resume on the complete jsonlog manifest is a no-op
+    res = pipeline.run(
+        spark, str(jdir), out_jl, with_stats=False,
+        input_format="jsonlog",
+    )
+    assert res.days_processed == []
+
+
 def test_stats_tables_written(spark, webtext_dir, tmp_path):
     out = str(tmp_path / "stats_out")
     pipeline.run(spark, webtext_dir, out, with_stats=True)
