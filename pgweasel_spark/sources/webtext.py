@@ -142,20 +142,34 @@ def read_jsonlog(spark: SparkSession, path: str) -> DataFrame:
     (route, aggregates, CLI reports) works unchanged.
 
     Spark-first shape: lines via the native text source (splittable,
-    predicate-pushdown-capable), ``from_json`` + field projection all
-    JVM-side inside whole-stage codegen — the corpus never crosses into
-    Python. ``raw`` keeps the original line for CLI printing and the
-    kv/duration extractors; severity reuses the stderr ordinal map
-    (Panic→0 quirk included) and the timestamp reuses the 3-token
-    parser, so jsonlog events route and aggregate bit-identically to
-    their stderr twins (asserted by test_jsonlog_matches_stderr_twin).
+    predicate-pushdown-capable), then :func:`jsonlog_events` —
+    ``from_json`` + field projection all JVM-side inside whole-stage
+    codegen; the corpus never crosses into Python. ``raw`` keeps the
+    original line for CLI printing and the kv/duration extractors;
+    severity reuses the stderr ordinal map (Panic→0 quirk included)
+    and the timestamp reuses the 3-token parser, so jsonlog events
+    route and aggregate bit-identically to their stderr twins
+    (asserted by test_jsonlog_matches_stderr_twin).
     """
-    from pgweasel_spark.functions import extract as X
-
     lines = spark.read.text(path).select(
         F.col("value").alias("raw"),
         F.input_file_name().alias("url"),
     )
+    # file-order surrogate; jsonlog lines carry their own timestamps
+    # so nothing downstream orders by record_no
+    return jsonlog_events(lines, F.monotonically_increasing_id())
+
+
+def jsonlog_events(lines: DataFrame, record_no) -> DataFrame:
+    """The shared jsonlog projection: (raw, url) lines → parsed-event
+    rows, everything JVM (``from_json`` + field projection in
+    whole-stage codegen). Used by both the batch reader and the
+    streaming source (``streaming.stream.read_jsonlog_stream``, which
+    passes a null ``record_no`` — ``monotonically_increasing_id`` is
+    unsupported on streaming frames, and nothing downstream orders by
+    the surrogate)."""
+    from pgweasel_spark.functions import extract as X
+
     j = F.from_json(F.col("raw"), JSONLOG_SCHEMA)
     sev = F.lower(j["error_severity"])
     msg = j["message"]
@@ -165,9 +179,7 @@ def read_jsonlog(spark: SparkSession, path: str) -> DataFrame:
             "url",
             F.lit(None).cast("timestamp").alias("warc_ts"),
             F.lit(None).cast("string").alias("lang"),
-            # file-order surrogate; jsonlog lines carry their own
-            # timestamps so nothing downstream orders by record_no
-            F.monotonically_increasing_id().alias("record_no"),
+            record_no.alias("record_no"),
             "raw",
             F.lit("json").alias("format"),
             sev.alias("severity"),

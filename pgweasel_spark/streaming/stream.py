@@ -39,6 +39,43 @@ def routed_stream(pages: DataFrame) -> DataFrame:
     return route.with_partition_cols(route.explode_sinks(events))
 
 
+def read_jsonlog_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming S8: tail a growing PostgreSQL jsonlog directory (the
+    continuously-written log_destination=jsonlog shape). The file
+    stream source discovers new .json/.gz files; the shared
+    ``jsonlog_events`` projection keeps everything in whole-stage
+    codegen, so the stream emits the identical parsed-event schema the
+    batch reader produces (record_no is null — the monotonic surrogate
+    is unsupported on streaming frames and nothing orders by it)."""
+    from pgweasel_spark.sources.webtext import jsonlog_events
+
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", 8)
+        .text(input_dir)
+        .select(
+            F.col("value").alias("raw"),
+            F.input_file_name().alias("url"),
+        )
+    )
+    return jsonlog_events(lines, F.lit(None).cast("long"))
+
+
+def routed_jsonlog_stream(events: DataFrame) -> DataFrame:
+    """Route an (already parsed) jsonlog event stream with the same
+    sink-flag/explode plan as the batch jsonlog pipeline; the partition
+    timestamp is the event's own (jsonlog carries no crawl time), with
+    the same 1970-01-01 sentinel day for quarantined lines."""
+    ev = events.withColumn(
+        "warc_ts",
+        F.coalesce(
+            F.col("event_ts"), F.lit("1970-01-01").cast("timestamp")
+        ),
+    )
+    return route.with_partition_cols(
+        route.explode_sinks(route.sink_flags(ev))
+    )
+
+
 def error_rate_stream(pages: DataFrame, window: str = "10 minutes") -> DataFrame:
     """Windowed error-rate aggregation with late-data handling: tumbling
     event-time windows on the parsed log timestamp, 1-hour watermark."""

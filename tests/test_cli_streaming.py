@@ -134,6 +134,90 @@ def test_streaming_available_now(spark, webtext_dir, tmp_path):
     assert batch.count() == n1
 
 
+def test_streaming_jsonlog_matches_batch_pipeline(spark, tmp_path):
+    """Streaming S8: tailing a jsonlog directory with availableNow must
+    route the same per-sink rows as the batch jsonlog pipeline over the
+    same files, exactly-once across incremental file arrivals."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pgweasel_spark.plans import pipeline
+    from pgweasel_spark.streaming import stream
+
+    def mk_lines(day, n):
+        return "\n".join(
+            json.dumps(
+                {
+                    "timestamp": f"2025-06-{day:02d} 10:00:{i:02d}.000 UTC",
+                    "error_severity": "ERROR" if i % 2 else "LOG",
+                    "message": (
+                        "division by zero"
+                        if i % 2
+                        else f"duration: 4100.{i} ms  statement: select {i}"
+                    ),
+                    "state_code": "22012" if i % 2 else "00000",
+                    "user": "u",
+                    "dbname": "d",
+                    "application_name": "a",
+                    "remote_host": "h",
+                    "process_id": i,
+                }
+            )
+            for i in range(n)
+        )
+
+    jdir = tmp_path / "jl"
+    jdir.mkdir()
+    (jdir / "a.json").write_text(mk_lines(3, 6) + "\n")
+
+    out = str(tmp_path / "jl_stream")
+
+    def run_stream():
+        q = (
+            stream.routed_jsonlog_stream(
+                stream.read_jsonlog_stream(spark, str(jdir))
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{out}/routed_stream")
+            .option("checkpointLocation", f"{out}/_ck")
+            .partitionBy("sink", "warc_day")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    routed = spark.read.parquet(f"{out}/routed_stream")
+    n1 = routed.count()
+    assert n1 > 0
+
+    # a second file arrives → only its rows are appended (exactly-once)
+    (jdir / "b.json").write_text(mk_lines(4, 4) + "\n")
+    run_stream()
+    routed = spark.read.parquet(f"{out}/routed_stream")
+    assert routed.count() > n1
+
+    # per-sink equality vs the batch jsonlog pipeline on the same dir
+    batch_out = str(tmp_path / "jl_batch")
+    pipeline.run(
+        spark, str(jdir), batch_out, with_stats=False,
+        input_format="jsonlog",
+    )
+    batch = spark.read.parquet(os.path.join(batch_out, "routed"))
+
+    def counts(df):
+        return {
+            r["sink"]: r["cnt"]
+            for r in df.groupBy("sink")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    assert counts(routed) == counts(batch)
+    assert {"errors", "slow", "stats"} <= set(counts(routed))
+
+
 def test_error_rate_stream_plan(spark, webtext_dir, tmp_path):
     """Windowed error-rate agg with watermark runs in availableNow mode."""
     from pgweasel_spark.streaming import stream
