@@ -41,9 +41,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--group-col", default="source")
     p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--max-top-gram-frac", type=float, default=0.1)
+    p.add_argument("--max-dup-gram-frac", type=float, default=0.2)
     p.add_argument("--quality-q", type=float, default=0.25)
     p.add_argument("--train", type=float, default=0.9)
     p.add_argument("--val", type=float, default=0.05)
+    # line-level Gopher/Dolma signals (r5): None = arm disabled, the
+    # legacy gate schema/verdicts are then byte-identical
+    p.add_argument("--max-symbol-word-ratio", type=float, default=None)
+    p.add_argument("--max-bullet-line-frac", type=float, default=None)
+    p.add_argument("--max-ellipsis-line-frac", type=float, default=None)
+    p.add_argument("--max-dup-line-frac", type=float, default=None)
+    p.add_argument(
+        "--word-len-range",
+        type=float,
+        nargs=2,
+        default=None,
+        metavar=("MIN", "MAX"),
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -67,6 +82,15 @@ def main(argv: list[str] | None = None) -> int:
         text_col=args.text_col,
         key_col=args.id_col,
         min_tokens=args.min_tokens,
+        max_top_gram_frac=args.max_top_gram_frac,
+        max_dup_gram_frac=args.max_dup_gram_frac,
+        max_symbol_word_ratio=args.max_symbol_word_ratio,
+        max_bullet_line_frac=args.max_bullet_line_frac,
+        max_ellipsis_line_frac=args.max_ellipsis_line_frac,
+        max_dup_line_frac=args.max_dup_line_frac,
+        word_len_range=(
+            tuple(args.word_len_range) if args.word_len_range else None
+        ),
     )
     gate.write.mode("overwrite").parquet(os.path.join(args.out, "gate"))
 

@@ -583,6 +583,7 @@ def embedding_near_dups_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_blocks: int = 4,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """EXACT embedding near-dup pairs via block-matrix GEMM — the
     distributed form of the all-pairs scan.
@@ -602,7 +603,14 @@ def embedding_near_dups_blocked(
 
     Results are identical to the HOF path at round-6 (float64 GEMM vs
     sequential fold differ at ~1e-15 relative; the rounding quantum is
-    5e-7) — asserted by test_embedding_near_dups_engines_agree."""
+    5e-7) — asserted by test_embedding_near_dups_engines_agree.
+
+    ``max_block_rows`` bounds per-task memory for larger verification
+    corpora: n_blocks is raised to ceil(n / max_block_rows) (one cheap
+    count job), so each pandas group holds ~2·max_block_rows vectors
+    regardless of corpus size — the same bound the LSH engine applies
+    per bucket. Amplification is ×n_blocks; exact all-pairs compute is
+    O(n²) either way, this only keeps a single task from OOMing."""
     import pandas as pd  # noqa: F401 (worker-side)
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -614,6 +622,8 @@ def embedding_near_dups_blocked(
             f"embedding_near_dups_blocked needs an integral {id_col!r} "
             f"(got {id_type}); use engine='hof' for non-numeric ids"
         )
+    if max_block_rows is not None:
+        n_blocks = max(n_blocks, -(-df.count() // max_block_rows))
     b = F.pmod(F.xxhash64(F.col(id_col)), n_blocks).cast("int")
     base = df.select(
         F.col(id_col).alias("id"),

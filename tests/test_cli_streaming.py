@@ -849,6 +849,80 @@ def test_run_curate_job_entry(spark, tmp_path):
     assert res["rows"]["curated"] < 9
 
 
+def test_run_curate_line_gate_args(spark, tmp_path):
+    """The r5 line-level Gopher thresholds are wired through run_curate:
+    a duplicate-line doc survives the default gate but is rejected when
+    --max-dup-line-frac is passed."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.run_curate import main as curate_main
+
+    rows = [
+        {
+            "doc_id": i,
+            "source": "a",
+            "text": " ".join(
+                ["the", "and"] * (2 + i) + [f"tok{i}{j}" for j in range(20)]
+            ),
+        }
+        for i in range(6)
+    ]
+    # ≥20 distinct-ish tokens per line so length/repetition arms pass,
+    # but the same line repeated 10x → dup_line_frac 0.9
+    dup_line = " ".join(f"uniq{j} extra{j}" for j in range(12))
+    rows.append({"doc_id": 50, "source": "a", "text": "\n".join([dup_line] * 10)})
+    indir = str(tmp_path / "docs_lg")
+    os.makedirs(indir)
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("source", pa.string()),
+                    ("text", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(indir, "part0.parquet"),
+    )
+
+    def gate_reasons(extra):
+        out = str(
+            tmp_path / f"cur_lg_{abs(hash(tuple(extra))) % 10**6}"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = curate_main(
+                ["--input", indir, "--out", out, *extra]
+            )
+        assert rc == 0
+        return {
+            r["doc_id"]: r["reason"]
+            for r in spark.read.parquet(os.path.join(out, "gate")).collect()
+        }
+
+    # legacy precedence: the repeated line also repeats its grams, so
+    # the default gate already rejects — as dup_gram, the earlier arm
+    default = gate_reasons([])
+    assert default[50] == "dup_gram"
+    # with the gram arms relaxed, the line-level arm is what fires
+    gated = gate_reasons(
+        [
+            "--max-top-gram-frac", "1.1",
+            "--max-dup-gram-frac", "1.1",
+            "--max-dup-line-frac", "0.3",
+        ]
+    )
+    assert gated[50] == "dup_lines"
+    # relaxing the gram arms can only flip gram-rejections to keep;
+    # no clean doc may gain a line-level rejection
+    assert all(gated[i] in (default[i], None) for i in range(6))
+
+
 def test_jsonlog_source_matches_stderr_twin(spark, tmp_path):
     """S8 jsonlog (REAL here; the reference exits with
     JsonNotYetImplemented): the same logical events written as jsonlog

@@ -63,6 +63,10 @@ def test_minhash_dedup_cache_registry(docs, spark):
     after materializing — without it, repeated invocations accumulate
     cached RDDs (ADVICE r4)."""
     spark.catalog.clearCache()
+    sc = spark.sparkContext
+    # baseline-relative: earlier tests may leave checkpoint RDDs that
+    # clearCache does not (and should not) touch
+    base = sc._jsc.getPersistentRDDs().size()
     handles = []
     out = dedup.minhash_dedup(
         docs, jaccard_threshold=0.5, cache_registry=handles
@@ -74,8 +78,7 @@ def test_minhash_dedup_cache_registry(docs, spark):
     )
     for h in handles:
         h.unpersist(blocking=True)
-    sc = spark.sparkContext
-    assert sc._jsc.getPersistentRDDs().size() == 0
+    assert sc._jsc.getPersistentRDDs().size() <= base
 
 
 def test_minhash_signatures_deterministic(docs, spark):
@@ -574,6 +577,35 @@ def test_gopher_gate_reason_precedence(spark):
     assert out[1]["reason"] == "top_gram" and not out[1]["keep"]
     assert out[2]["reason"] is None and out[2]["keep"]
     assert out[3]["dup_gram_frac"] > 0.9
+
+
+def test_blocked_gemm_max_block_rows_is_exact(spark):
+    """max_block_rows raises n_blocks to bound per-task memory for the
+    exact engine; the pair set must be identical to the default."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(24)
+    ]
+    rows.append((100, [v * 1.001 for v in rows[3][1]]))  # planted pair
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    default = sorted(
+        map(
+            tuple,
+            dedup.embedding_near_dups_blocked(e, threshold=0.5).collect(),
+        )
+    )
+    bounded = sorted(
+        map(
+            tuple,
+            dedup.embedding_near_dups_blocked(
+                e, threshold=0.5, max_block_rows=5
+            ).collect(),
+        )
+    )
+    assert bounded == default
+    assert any(d1 == 3 and d2 == 100 for d1, d2, _ in bounded)
 
 
 def test_vocab_topk_prefilter_is_exact(spark):
