@@ -180,20 +180,25 @@ BULLET_CHARS = ("-", "*", "•")
 SYMBOL_RE = r"#|\.\.\.|…"
 
 
-def _line_signal_cols(t: Column) -> list[Column]:
+def nonblank_lines(t: Column) -> Column:
+    """The non-blank ``\\n`` splits — the line unit every line-level
+    signal shares."""
+    return F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+
+
+def _line_signal_cols(t: Column, ws: Column, lines: Column) -> list[Column]:
     """Line-level Gopher/Dolma quality signals as map-only projections:
     symbol-to-word ratio, bullet-start and ellipsis-end line fractions,
-    duplicate-line fraction and mean word length. Lines are the
-    non-blank ``\\n`` splits; words are dedup's single-space split (the
-    t5 oracle convention). All JVM higher-order functions — the signals
-    pipeline into the scan like every other extraction, no shuffle."""
-    from pgweasel_spark.operators.dedup import words as _w
-
-    ws = _w(t)
+    duplicate-line fraction and mean word length. ``ws``/``lines`` must
+    be ATTRIBUTE columns materialized by a prior projection (the
+    let-binding shape: CollapseProject won't inline a non-cheap alias
+    referenced more than once, so each split runs once per doc instead
+    of once per signal — the shingles_from_words lesson). Words are
+    dedup's single-space split (the t5 oracle convention); lines the
+    non-blank ``\\n`` splits. All JVM higher-order functions — the
+    signals pipeline into the scan like every other extraction, no
+    shuffle."""
     n_tokens = F.greatest(F.size(ws), F.lit(1))
-    lines = F.filter(
-        F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0
-    )
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet = F.size(
         F.filter(
@@ -275,12 +280,25 @@ def gopher_gate(
             word_len_range,
         )
     )
-    line_cols = _line_signal_cols(F.col(text_col)) if line_enabled else []
-    base = df.select(
-        key_col,
-        F.size(_w(F.col(text_col))).cast("long").alias("n_tokens"),
-        *line_cols,
-    )
+    if line_enabled:
+        # let-binding projection: split words/lines once per doc, then
+        # compute every signal from the attribute columns
+        pre = df.select(
+            key_col,
+            F.col(text_col).alias("_t"),
+            _w(F.col(text_col)).alias("_ws"),
+            nonblank_lines(F.col(text_col)).alias("_ls"),
+        )
+        base = pre.select(
+            key_col,
+            F.size("_ws").cast("long").alias("n_tokens"),
+            *_line_signal_cols(F.col("_t"), F.col("_ws"), F.col("_ls")),
+        )
+    else:
+        base = df.select(
+            key_col,
+            F.size(_w(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
     rep = repetition_stats(df, text_col=text_col, key_col=key_col).select(
         key_col, "top_gram_frac", "dup_gram_frac"
     )
