@@ -1222,6 +1222,43 @@ def q_t10_gopher_line_gate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_d13_stratified_sample(spark, sf_dir):
+    """Deterministic per-group sampling (sampling.stratified_sample):
+    the engine-portable sampleBy for corpus mixing — keep a doc iff its
+    seeded hash fraction is under its source's configured rate; groups
+    not configured fall to the default (0.25 here, so every source
+    family is exercised). Map-only literal-map lookup, no shuffle, no
+    sampling pass; DuckDB restates the hash digit-by-digit."""
+    from pgweasel_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            d,
+            {"src0": 0.8, "src1": 0.5, "src2": 0.1, "src3": 0.0},
+            group_col="source",
+            default=0.25,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_w3_token_shards(spark, sf_dir):
+    """Bucketed greedy token-budget shard packing
+    (sampling.pack_token_shards): hash-bucketed independent packing
+    streams + per-bucket window cumsum — never a global sort; shard =
+    floor(preceding-cum / budget) within (bucket, key order). Fully
+    value-checked: the md5-60 bucket, the window cumsum and the floor
+    are restated verbatim in the oracle."""
+    from pgweasel_spark.operators.sampling import pack_token_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_token_shards(
+        d, budget_tokens=512, n_buckets=8
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver's correctness harness
     oracle-checks the FIRST 50 entries only; positions 51+ are verified
@@ -1307,6 +1344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_connections": q_a4_connections,
         "f1_mask": q_f1_mask,
         "f4_slow_filter": q_f4_slow_filter,
+        # new in r5 (tail by necessity — the window is full; rotate
+        # into the window next round per the standing policy)
+        "d13_stratified_sample": q_d13_stratified_sample,
+        "w3_token_shards": q_w3_token_shards,
     }
 
 
@@ -1790,6 +1831,41 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {_duck_split_frac} < 0.95 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "d13_stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {duck_hash_fraction_sql("doc_id", seed="strat")} <
+                  CASE source WHEN 'src0' THEN 0.8
+                              WHEN 'src1' THEN 0.5
+                              WHEN 'src2' THEN 0.1
+                              WHEN 'src3' THEN 0.0
+                              ELSE 0.25 END
+            ORDER BY doc_id
+        """,
+        # w3: bucket = md5-60('shard|'||doc_id) % 8 (same per-character
+        # shift restatement as the simhash/split hashes), then the
+        # per-bucket ROWS-window cumsum and the preceding-total floor —
+        # every intermediate stated verbatim.
+        "w3_token_shards": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(({_duck_hash60(
+                         "concat('shard|', CAST(doc_id AS VARCHAR))"
+                     )} % 8) AS INT) AS bucket
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens, bucket,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM b
+            )
+            SELECT doc_id, n_tokens, bucket,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+                     AS shard
+            FROM c ORDER BY doc_id
         """,
         "t8_vocab_topk": """
             WITH w AS (

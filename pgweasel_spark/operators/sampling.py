@@ -69,6 +69,92 @@ def hash_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "strat",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group sampling — the engine-portable
+    ``sampleBy``: keep a doc iff its seeded hash fraction is below its
+    group's configured rate (groups absent from ``fractions`` get
+    ``default``). Used for source re-weighting / up-down-sampling in
+    corpus mixing.
+
+    Properties inherited from the hash-fraction scheme: membership is
+    reproducible, stable under corpus growth, and restatable by any SQL
+    engine. Scale shape: pure map-side projection + codegen'd literal
+    map lookup — no shuffle, no sampling pass, no broadcast (the
+    fractions dict is baked into the plan as a literal; swap to a
+    broadcast-joined dim table if group cardinality outgrows a plan
+    literal)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    u = _hash60(key_col, seed) / F.lit(_HASH60_DEN)
+    frac = F.coalesce(
+        mapping[F.col(group_col)], F.lit(float(default))
+    )
+    return df.where(u < frac)
+
+
+def pack_token_shards(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    budget_tokens: int = 2048,
+    n_buckets: int = 64,
+    seed: str = "shard",
+) -> DataFrame:
+    """Greedy token-budget shard packing: assign each doc to a training
+    shard such that a shard's token total only exceeds ``budget_tokens``
+    by at most one document — the standard pre-tokenization packing
+    pass for sequence-packed training.
+
+    Scale shape: a GLOBAL greedy pack is a total order — a full-corpus
+    range sort at 10^12 docs. Instead docs are hash-assigned to
+    ``n_buckets`` independent packing streams (uniform key, one
+    exchange) and packed within each bucket by a window cumsum ordered
+    by ``key_col`` — the window runs inside uniform bounded partitions,
+    never a global sort, and shard ids are (bucket, shard) pairs. The
+    bucket uses the seeded md5-60 hash (not xxhash64) so the whole
+    assignment — bucket, order, cumsum, shard — is restatable
+    engine-for-engine (the d13/w3 oracle states it digit-by-digit).
+    Tokens are the single-space split (the t5/dedup convention).
+
+    Output: (key, n_tokens, bucket, shard) where ``shard`` is the
+    0-based shard index within the bucket: a doc lands in the shard its
+    PRECEDING cumulative total falls in — floor((cum − n) / budget) —
+    so every shard except possibly a bucket's last holds ≥ budget
+    tokens once closed, and overflow per shard is bounded by one doc."""
+    from pgweasel_spark.operators.dedup import words as _w
+    from pyspark.sql import Window
+
+    n_tokens = F.size(_w(F.col(text_col))).cast("long")
+    bucket = F.pmod(_hash60(key_col, seed), F.lit(n_buckets)).cast("int")
+    base = df.select(
+        key_col, n_tokens.alias("n_tokens"), bucket.alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        key_col,
+        "n_tokens",
+        "bucket",
+        F.floor(
+            (cum - F.col("n_tokens")) / F.lit(float(budget_tokens))
+        )
+        .cast("long")
+        .alias("shard"),
+    )
+
+
 def duck_hash_fraction_sql(key_expr: str, seed: str = "split") -> str:
     """DuckDB restatement of the [0, 1) fraction — per-character shifts
     (integer-exact; pow() would lose precision above 2^53), divided by

@@ -1114,6 +1114,90 @@ def test_hash_split_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_stratified_sample_deterministic_map_only(spark):
+    """Per-group rates honored (approximately, deterministic hash),
+    membership reproducible and stable under corpus growth, absent
+    groups get the default, and the plan stays exchange-free."""
+    from pgweasel_spark.operators import sampling
+
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    fr = {"a": 0.5, "b": 0.1}
+    s1 = {r["doc_id"] for r in sampling.stratified_sample(base, fr).collect()}
+    s2 = {r["doc_id"] for r in sampling.stratified_sample(base, fr).collect()}
+    assert s1 == s2  # deterministic
+    a_kept = sum(1 for d in s1 if d % 2 == 0) / 1000
+    b_kept = sum(1 for d in s1 if d % 2 == 1) / 1000
+    assert abs(a_kept - 0.5) < 0.06 and abs(b_kept - 0.1) < 0.04
+    # growth-stability: adding docs never flips existing membership
+    grown = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    s3 = {r["doc_id"] for r in sampling.stratified_sample(grown, fr).collect()}
+    assert {d for d in s3 if d < 2000} == s1
+    # unknown group → default 0.0 → dropped
+    extra = spark.createDataFrame(
+        [(9999, "zzz")], "doc_id long, source string"
+    )
+    assert sampling.stratified_sample(extra, fr).count() == 0
+    assert (
+        sampling.stratified_sample(extra, fr, default=1.0).count() == 1
+    )
+    df = sampling.stratified_sample(base, fr)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_token_shards_greedy_per_bucket(spark):
+    """Within each bucket, shards are the greedy budget packing in
+    key order: verified against a driver-side greedy reimplementation;
+    every closed shard holds >= budget tokens and overflows by at most
+    one doc; the only exchange is the bucket hash partition."""
+    import random
+
+    from pgweasel_spark.operators import sampling
+
+    rng = random.Random(9)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(5, 120))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 200
+    out = sampling.pack_token_shards(
+        df, budget_tokens=budget, n_buckets=8
+    ).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) > 1
+    for bucket, docs in by_bucket.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        # driver-side greedy replay
+        cum, expect = 0, []
+        for r in docs:
+            expect.append(cum // budget)
+            cum += r["n_tokens"]
+        assert [r["shard"] for r in docs] == expect
+        # overflow bound: a shard's total before its final doc is under
+        # budget — i.e. it never exceeds budget by more than one doc
+        totals = {}
+        last_tok = {}
+        for r in docs:
+            totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+            last_tok[r["shard"]] = r["n_tokens"]
+        for s, tot in totals.items():
+            assert tot - last_tok[s] < budget
+        # shard ids are non-decreasing in key order
+        shard_seq = [r["shard"] for r in docs]
+        assert shard_seq == sorted(shard_seq)
+
+
 def test_vocab_top_ngrams(spark):
     """Counts every occurrence (not distinct-per-doc), deterministic
     tie-break, top-k honored."""
