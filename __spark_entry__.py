@@ -1259,6 +1259,19 @@ def q_w3_token_shards(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_t11_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (textstats.tfidf_top_terms):
+    partial-agg tf on the compound (doc, term) key, partial-agg df on
+    term, shuffle join on term (vocab never broadcasts at crawl
+    scale), bounded per-doc collect+sort+slice for the top-k.
+    Deterministic (tfidf DESC, term ASC) and rounded to 6, so DuckDB
+    restates every value via the identical ln(N/df) arithmetic."""
+    from pgweasel_spark.operators.textstats import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver's correctness harness
     oracle-checks the FIRST 50 entries only; positions 51+ are verified
@@ -1348,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into the window next round per the standing policy)
         "d13_stratified_sample": q_d13_stratified_sample,
         "w3_token_shards": q_w3_token_shards,
+        "t11_tfidf_topk": q_t11_tfidf_topk,
     }
 
 
@@ -1866,6 +1880,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
                      AS shard
             FROM c ORDER BY doc_id
+        """,
+        "t11_tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, COUNT(*) AS df_cnt FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(
+                       (SELECT COUNT(*)::DOUBLE FROM documents)
+                       / dfq.df_cnt), 6) AS tfidf
+              FROM tf JOIN dfq USING (term)
+            ), ranked AS (
+              SELECT doc_id, term, tfidf,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, CAST(rnk AS INT) AS rank, term, tfidf
+            FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
         "t8_vocab_topk": """
             WITH w AS (

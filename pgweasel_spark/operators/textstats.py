@@ -426,6 +426,77 @@ def vocab_top_ngrams(
     return full.orderBy(F.col("cnt").desc(), F.col("gram")).limit(k)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf · ln(N/df)) — the classic
+    corpus-statistics signal for keyword extraction / topic drift
+    monitoring in curation pipelines. Ties broken (tfidf DESC, term
+    ASC); tfidf rounded to 6 so any engine restates the value.
+
+    Scale shape: tokenize + explode is map-only; term frequency is one
+    partial-aggregated groupBy on the COMPOUND (doc, term) key (uniform
+    — a stopword's rows spread across its documents); document
+    frequency partial-aggregates the tf output on the term key; the
+    tf⋈df join is a shuffle join on term (both sides pre-keyed; the
+    vocab does NOT broadcast at crawl scale). The per-doc top-k is a
+    bounded collect_list + array_sort + slice — per-group state is the
+    doc's own distinct-term count, which the upstream length gates
+    bound. ``n_docs`` skips the corpus count job when the caller knows
+    N (manifest lineage). Words are the single-space split (t5/dedup
+    convention)."""
+    from pgweasel_spark.operators.dedup import words as _w
+
+    if n_docs is None:
+        n_docs = df.count()
+    toks = df.select(
+        key_col, F.explode(_w(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(key_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_cnt")
+    )
+    scored = tf.join(docfreq, "term").select(
+        key_col,
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_cnt")), 6
+        ).alias("tfidf"),
+    )
+    ranked = (
+        scored.groupBy(key_col)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("tfidf")).alias("neg"),
+                            F.col("term").alias("term"),
+                            F.col("tfidf").alias("tfidf"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(key_col, F.posexplode("top").alias("pos", "t"))
+        .select(
+            key_col,
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("t.term").alias("term"),
+            F.col("t.tfidf").alias("tfidf"),
+        )
+    )
+    return ranked
+
+
 def quantile_quality_gate(
     df: DataFrame,
     score_col: str,

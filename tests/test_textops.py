@@ -1198,6 +1198,37 @@ def test_pack_token_shards_greedy_per_bucket(spark):
         assert shard_seq == sorted(shard_seq)
 
 
+def test_tfidf_top_terms(spark):
+    """Hand-checkable corpus: a term unique to one doc outranks shared
+    terms; corpus-universal terms get tfidf 0; ties break by term;
+    k truncates."""
+    import math
+
+    from pgweasel_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared rare rare"),
+            (2, "shared other"),
+            (3, "shared other zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in tfidf_top_terms(df, k=2).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tfidf"])
+        )
+    # doc1: rare tf=2 df=1 → 2·ln(3); shared universal → 0
+    assert out[1][0] == (1, "rare", round(2 * math.log(3.0), 6))
+    assert out[1][1] == (2, "shared", 0.0)
+    # doc2: other df=2 → ln(1.5) beats shared's 0
+    assert out[2][0] == (1, "other", round(math.log(1.5), 6))
+    # doc3: zzz (ln 3) > other (ln 1.5); shared cut by k=2
+    assert [t for _, t, _ in out[3]] == ["zzz", "other"]
+    assert all(len(v) == 2 for v in out.values())
+
+
 def test_vocab_top_ngrams(spark):
     """Counts every occurrence (not distinct-per-doc), deterministic
     tie-break, top-k honored."""
