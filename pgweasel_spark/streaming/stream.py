@@ -89,24 +89,111 @@ def error_rate_stream(pages: DataFrame, window: str = "10 minutes") -> DataFrame
     )
 
 
+#: the sinks the streaming metrics observe per batch (route.SINKS +
+#: quarantine, the same fan-out explode_sinks emits)
+_METRIC_SINKS = (*route.SINKS, "quarantine")
+
+
+class _BatchMetricsListener:
+    """StreamingQueryListener writing one JSONL row per micro-batch:
+    batch id, source input rows, and the observed per-sink routed
+    counts — the streaming twin of the batch manifest's per-day
+    lineage (plans/manifest.py). Counts come from an ``observe`` on
+    the routed frame, so they are collected DURING the write (no
+    second pass), exactly like the batch Observation."""
+
+    def __new__(cls, path: str):
+        from pyspark.sql.streaming import listener as L
+
+        class _Impl(L.StreamingQueryListener):
+            def __init__(self, p):
+                super().__init__()
+                self._path = p
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                import json as _json
+
+                p = event.progress
+                obs = (p.observedMetrics or {}).get("routed")
+                row = {
+                    "batch_id": p.batchId,
+                    "input_rows": p.numInputRows,
+                    "sink_counts": (
+                        {s: obs[f"n_{s}"] for s in _METRIC_SINKS}
+                        if obs is not None
+                        else None
+                    ),
+                    "ts": p.timestamp,
+                }
+                with open(self._path, "a") as fh:
+                    fh.write(_json.dumps(row) + "\n")
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        return _Impl(path)
+
+
+def observed_routed(routed: DataFrame) -> DataFrame:
+    """Attach the per-sink count observation consumed by
+    :class:`_BatchMetricsListener` (one conditional count per sink,
+    evaluated inside the write job)."""
+    return routed.observe(
+        "routed",
+        *[
+            F.count(F.when(F.col("sink") == s, 1)).alias(f"n_{s}")
+            for s in _METRIC_SINKS
+        ],
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     input_dir: str,
     out_root: str,
+    with_metrics: bool = False,
 ) -> None:
     """Catch-up-then-stop incremental run: processes all files not yet in
-    the checkpoint, appends to the routed sink, exits."""
+    the checkpoint, appends to the routed sink, exits.
+
+    ``with_metrics=True`` records per-batch lineage to
+    ``<out_root>/stream_metrics.jsonl`` (batch id, input rows, per-sink
+    routed counts via an in-write observation) — the streaming
+    counterpart of the batch manifest, so a streamed corpus has the
+    same row-count audit trail as a day-batched one."""
     pages = read_webtext_stream(spark, input_dir)
     routed = routed_stream(pages)
-    q = (
-        routed.writeStream.format("parquet")
-        .option("path", f"{out_root}/routed_stream")
-        .option("checkpointLocation", f"{out_root}/_checkpoint")
-        .partitionBy("sink", "warc_day")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    listener = None
+    if with_metrics:
+        routed = observed_routed(routed)
+        listener = _BatchMetricsListener(
+            f"{out_root}/stream_metrics.jsonl"
+        )
+        spark.streams.addListener(listener)
+    try:
+        q = (
+            routed.writeStream.format("parquet")
+            .option("path", f"{out_root}/routed_stream")
+            .option("checkpointLocation", f"{out_root}/_checkpoint")
+            .partitionBy("sink", "warc_day")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if listener is not None:
+            # progress events are delivered asynchronously; give the
+            # bus a moment to drain before detaching
+            import time as _time
+
+            _time.sleep(1.0)
+            spark.streams.removeListener(listener)
 
 
 ALERT_SCHEMA = "host string, batch_errors bigint, total_errors bigint, alert boolean"

@@ -134,6 +134,51 @@ def test_streaming_available_now(spark, webtext_dir, tmp_path):
     assert batch.count() == n1
 
 
+def test_streaming_batch_metrics_lineage(spark, webtext_dir, tmp_path):
+    """with_metrics=True writes one JSONL lineage row per micro-batch
+    (batch id, input rows, per-sink observed counts collected during
+    the write) whose sink totals equal the written routed table — the
+    streaming twin of the batch manifest."""
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pgweasel_spark.streaming import stream
+
+    out = str(tmp_path / "stream_metrics_out")
+    stream.run_available_now(spark, webtext_dir, out, with_metrics=True)
+
+    mpath = os.path.join(out, "stream_metrics.jsonl")
+    rows = []
+    for _ in range(20):  # listener delivery is async
+        if os.path.exists(mpath):
+            rows = [
+                json.loads(l)
+                for l in open(mpath).read().splitlines()
+                if l.strip()
+            ]
+            if rows and all(r["sink_counts"] for r in rows):
+                break
+        time.sleep(0.5)
+    assert rows, "no metrics rows written"
+    assert all(r["sink_counts"] is not None for r in rows)
+
+    routed = spark.read.parquet(os.path.join(out, "routed_stream"))
+    written = {
+        r["sink"]: r["cnt"]
+        for r in routed.groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    observed = {}
+    for r in rows:
+        for s, c in r["sink_counts"].items():
+            observed[s] = observed.get(s, 0) + c
+    assert {s: c for s, c in observed.items() if c} == written
+    assert sum(r["input_rows"] for r in rows) > 0
+
+
 def test_streaming_jsonlog_matches_batch_pipeline(spark, tmp_path):
     """Streaming S8: tailing a jsonlog directory with availableNow must
     route the same per-sink rows as the batch jsonlog pipeline over the
