@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
         help="max pending days per run (default: all)",
     )
     p.add_argument("--no-stats", action="store_true")
+    p.add_argument(
+        "--input-format",
+        choices=("parquet", "jsonlog"),
+        default="parquet",
+        help="jsonlog: a raw PostgreSQL jsonlog dir (NDJSON, .gz ok); "
+        "events day-batch on their own timestamps",
+    )
     args = p.parse_args(argv)
 
     from pgweasel_spark.plans import pipeline
@@ -55,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         slow_threshold_ms=args.slow_threshold_ms,
         day_batch=args.day_batch,
         with_stats=not args.no_stats,
+        input_format=args.input_format,
     )
     print(
         json.dumps(

@@ -197,7 +197,16 @@ def main(argv=None):
 
         spark = get_spark("pgweasel-cli")
         spark.sparkContext.setLogLevel("ERROR")
-        res = pipeline.run(spark, args.input, args.out)
+        # jsonlog inputs route through the same resumable day-batched
+        # writer (events batch on their own timestamps)
+        fmt = (
+            "jsonlog"
+            if args.input.rstrip("/").endswith(
+                (".json", ".jsonl", ".json.gz", ".jsonl.gz")
+            )
+            else "parquet"
+        )
+        res = pipeline.run(spark, args.input, args.out, input_format=fmt)
         print(
             f"processed days={res.days_processed} skipped={res.days_skipped} "
             f"sink_counts={res.sink_counts} in {res.elapsed_s:.1f}s"

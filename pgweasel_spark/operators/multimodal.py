@@ -1,9 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode/feature-extract kernels require codec libraries that are not in
-this container, so the *decode step* is stubbed behind a deterministic fake
-(or NotImplementedError for the real-codec path), while everything Spark —
+Codec-FREE formats have fully real decode kernels: binary PPM/PGM images
+(``parse_pnm`` — numpy header+raster parse → pixel features /
+nearest-neighbor resize) and PCM WAV audio (``parse_wav`` — stdlib wave →
+sample features). Compressed formats (JPEG/PNG/mp3/video) require codec
+libraries this container lacks, so their decode stays an honest
+NotImplementedError beside a deterministic fake, while everything Spark —
 schema, Arrow batch shape, mapInPandas partitioning, metadata extraction —
 is real and tested (tests/test_textops.py).
 
@@ -81,12 +84,15 @@ def _fake_decode(payload: bytes) -> list[float]:
 
 
 def real_decode(payload: bytes) -> list[float]:
-    """The real-codec path — intentionally unimplemented here (no image/
-    audio libraries in this container)."""
+    """The real-codec path for COMPRESSED formats (JPEG/PNG/mp3/video)
+    — intentionally unimplemented here (no codec libraries in this
+    container). Codec-free formats have real kernels: 'pnm' for binary
+    PPM/PGM pixels, 'wav' for PCM audio samples."""
     raise NotImplementedError(
-        "media decode requires codec libraries not present in this "
-        "environment; use decode_features(..., decoder='fake') for the "
-        "deterministic stand-in"
+        "compressed-media decode requires codec libraries not present "
+        "in this environment; use decoder='pnm' (real pixels), "
+        "decoder='wav' (real PCM audio) or decoder='fake' (deterministic "
+        "stand-in)"
     )
 
 
@@ -97,12 +103,15 @@ def decode_features(
     (column pruning to (id, bytes), batch iteration, typed output schema)
     is the production shape; only the kernel is swapped. ``decoder``:
     'fake' (deterministic digest stand-in), 'pnm' (REAL pixel decode for
-    binary PPM/PGM — numpy-only, no codec libs), anything else raises
-    the honest real_decode stub."""
+    binary PPM/PGM — numpy-only), 'wav' (REAL PCM audio decode —
+    stdlib wave + numpy), anything else raises the honest real_decode
+    stub."""
     if decoder == "fake":
         fn = _fake_decode
     elif decoder == "pnm":
         fn = pnm_decode
+    elif decoder == "wav":
+        fn = wav_decode
     else:
         fn = real_decode
 
@@ -301,6 +310,72 @@ def pnm_decode(payload: bytes) -> list[float]:
         float(gray.min()) / 255.0,
         float(gray.max()) / 255.0,
         *grid,
+    ]
+    return [float(x) for x in feats[:FEATURE_DIM]]
+
+
+# --- real decode path for codec-free audio (PCM WAV) ----------------------
+#
+# Compressed audio (mp3/aac/ogg) needs codec libs this container lacks,
+# but PCM WAV is RIFF header + raw samples and the stdlib `wave` module
+# parses it — a second fully REAL modality path: sniff → parse → sample
+# features, exercised on actual audio samples.
+
+
+def parse_wav(payload: bytes):
+    """Parse 8/16-bit PCM WAV into (samples, framerate): samples is a
+    float64 numpy array shaped (n_frames, channels) scaled to [-1, 1).
+    Stdlib ``wave`` handles the RIFF/fmt/data chunking; compressed WAV
+    (non-PCM) raises ``wave.Error`` — quarantine upstream, same policy
+    as malformed PNM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload or b""), "rb") as wf:
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        fr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if fr < 1 or nch < 1:
+        raise ValueError("bad WAV geometry")
+    if sw == 1:
+        data = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif sw == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raise ValueError("only 8/16-bit PCM WAV supported")
+    if data.size == 0:
+        raise ValueError("empty WAV raster")
+    return data[: (data.size // nch) * nch].reshape(-1, nch), fr
+
+
+def wav_decode(payload: bytes) -> list[float]:
+    """Real audio-feature kernel (FEATURE_DIM floats): duration, sample
+    rate, channel count, RMS, peak, zero-crossing rate, and a
+    10-segment RMS envelope — all computed from decoded PCM samples,
+    unit-scaled."""
+    import numpy as np
+
+    samples, fr = parse_wav(payload)
+    mono = samples.mean(axis=1)
+    n = mono.size
+    zcr = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) / max(n - 1, 1)
+    env = []
+    for i in range(10):
+        seg = mono[(i * n) // 10 : max((i + 1) * n // 10, (i * n) // 10 + 1)]
+        env.append(float(np.sqrt(np.mean(seg * seg))))
+    feats = [
+        min(n / fr, 3600.0) / 3600.0,
+        min(fr, 96000) / 96000.0,
+        samples.shape[1] / 2.0,
+        float(np.sqrt(np.mean(mono * mono))),
+        float(np.abs(mono).max()),
+        zcr,
+        *env,
     ]
     return [float(x) for x in feats[:FEATURE_DIM]]
 

@@ -1116,6 +1116,37 @@ def test_cli_serves_compressed_jsonlog_input(tmp_path):
     assert "     3  division by zero" in out_gz
 
 
+def test_cli_run_serves_jsonlog_input(spark, tmp_path):
+    """`run --input pg.json --out DIR` routes the jsonlog through the
+    resumable batch pipeline (events day-batched on their own
+    timestamps) instead of dying in the parquet reader."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    f = tmp_path / "pg.json"
+    rows = [
+        {
+            "timestamp": f"2025-06-03 12:00:0{i}.000 UTC",
+            "error_severity": "ERROR",
+            "message": "division by zero",
+            "state_code": "22012",
+            "user": "u",
+            "dbname": "d",
+            "application_name": "a",
+            "remote_host": "h",
+            "process_id": i,
+        }
+        for i in range(4)
+    ]
+    f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = str(tmp_path / "run_out")
+    text = _run_cli(["run", "--input", str(f), "--out", out])
+    assert "2025-06-03" in text
+    routed = spark.read.parquet(os.path.join(out, "routed"))
+    assert routed.where(F.col("sink") == "errors").count() == 4
+
+
 def test_jsonlog_reads_gzip(spark, tmp_path):
     """S3 codec transparency holds for jsonlog too: a .json.gz file
     parses identically (native text source decompresses)."""
