@@ -1272,6 +1272,18 @@ def q_t11_tfidf_topk(spark, sf_dir):
     return tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
 
 
+def q_t12_unigram_nll(spark, sf_dir):
+    """Per-doc mean unigram negative log-prob under the corpus's own
+    unigram distribution (textstats.unigram_logprob_score) — the
+    CCNet-style perplexity proxy for quality normalization. Partial-agg
+    tf → partial-agg corpus freq → shuffle join on term → per-doc
+    partial-agg mean; round-6 so the oracle checks every value."""
+    from pgweasel_spark.operators.textstats import unigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(d).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver's correctness harness
     oracle-checks the FIRST 50 entries only; positions 51+ are verified
@@ -1362,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_stratified_sample": q_d13_stratified_sample,
         "w3_token_shards": q_w3_token_shards,
         "t11_tfidf_topk": q_t11_tfidf_topk,
+        "t12_unigram_nll": q_t12_unigram_nll,
     }
 
 
@@ -1880,6 +1893,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
                      AS shard
             FROM c ORDER BY doc_id
+        """,
+        "t12_unigram_nll": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2
+            ), freq AS (
+              SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1
+            ), tot AS (
+              SELECT SUM(cnt)::DOUBLE AS total FROM freq
+            )
+            SELECT tf.doc_id,
+                   round(SUM(tf.tf * -ln(freq.cnt / (SELECT total FROM tot)))
+                         / SUM(tf.tf), 6) AS mean_nll,
+                   CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
+            FROM tf JOIN freq USING (term)
+            GROUP BY 1 ORDER BY doc_id
         """,
         "t11_tfidf_topk": """
             WITH toks AS (

@@ -497,6 +497,54 @@ def tfidf_top_terms(
     return ranked
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    total_tokens: int | None = None,
+) -> DataFrame:
+    """Per-doc mean unigram negative log-probability under the corpus's
+    OWN unigram distribution — the cheap perplexity proxy (the
+    CCNet/RedPajama-style quality signal: boilerplate and gibberish
+    score high, fluent in-distribution text scores low). Feed the score
+    to :func:`quantile_quality_gate` for per-source normalization.
+
+    score = Σ_terms tf(d,t) · (−ln(cnt(t)/total)) / Σ_terms tf(d,t),
+    rounded to 6 — every intermediate is SQL-restatable, so the oracle
+    checks values exactly.
+
+    Scale shape: tf partial-aggregates on the compound (doc, term) key;
+    the corpus unigram table partial-aggregates tf on term; the tf⋈freq
+    join shuffles on term (the vocab never broadcasts at crawl scale);
+    the per-doc mean is one more partial-agg groupBy. ``total_tokens``
+    skips the total-count job when lineage already knows it (it is the
+    sum the manifest's token accounting carries). Words are the
+    single-space split (t5/dedup convention)."""
+    from pgweasel_spark.operators.dedup import words as _w
+
+    toks = df.select(
+        key_col, F.explode(_w(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(key_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    if total_tokens is None:
+        total_tokens = freq.agg(F.sum("cnt")).first()[0] or 0
+    scored = tf.join(freq, "term").select(
+        key_col,
+        F.col("tf"),
+        (
+            F.col("tf")
+            * -F.log(F.col("cnt") / F.lit(float(total_tokens)))
+        ).alias("nll"),
+    )
+    return scored.groupBy(key_col).agg(
+        F.round(F.sum("nll") / F.sum("tf"), 6).alias("mean_nll"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+
+
 def quantile_quality_gate(
     df: DataFrame,
     score_col: str,

@@ -1301,6 +1301,35 @@ def test_tfidf_top_terms(spark):
     assert all(len(v) == 2 for v in out.values())
 
 
+def test_unigram_logprob_score(spark):
+    """Hand-checkable: rarer tokens raise a doc's mean NLL; a doc of
+    only the commonest token scores the corpus minimum; n_tokens is
+    the doc length."""
+    import math
+
+    from pgweasel_spark.operators.textstats import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b b"), (3, "a rare")],
+        "doc_id long, text string",
+    )
+    # corpus: a=7, b=2, rare=1, total=10
+    out = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+    nll = lambda c: -math.log(c / 10.0)
+    assert out[1]["mean_nll"] == round(nll(7), 6)
+    assert out[2]["mean_nll"] == round((2 * nll(7) + 2 * nll(2)) / 4, 6)
+    assert out[3]["mean_nll"] == round((nll(7) + nll(1)) / 2, 6)
+    assert out[3]["mean_nll"] > out[2]["mean_nll"] > out[1]["mean_nll"]
+    assert out[1]["n_tokens"] == 4
+    # injected total skips the count job but must change nothing when
+    # it equals the true total
+    inj = {
+        r["doc_id"]: r["mean_nll"]
+        for r in unigram_logprob_score(df, total_tokens=10).collect()
+    }
+    assert inj == {k: v["mean_nll"] for k, v in out.items()}
+
+
 def test_vocab_top_ngrams(spark):
     """Counts every occurrence (not distinct-per-doc), deterministic
     tie-break, top-k honored."""
