@@ -44,6 +44,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-top-gram-frac", type=float, default=0.1)
     p.add_argument("--max-dup-gram-frac", type=float, default=0.2)
     p.add_argument("--quality-q", type=float, default=0.25)
+    p.add_argument(
+        "--quality-metric",
+        choices=("stopword", "unigram_nll"),
+        default="stopword",
+        help="per-source quantile gate score: English stopword ratio "
+        "(higher=better) or corpus unigram mean NLL (lower=better; "
+        "negated so the gate keeps the fluent tail)",
+    )
     p.add_argument("--train", type=float, default=0.9)
     p.add_argument("--val", type=float, default=0.05)
     # line-level Gopher/Dolma signals (r5): None = arm disabled, the
@@ -94,14 +102,31 @@ def main(argv: list[str] | None = None) -> int:
     )
     gate.write.mode("overwrite").parquet(os.path.join(args.out, "gate"))
 
-    w = words(F.col(args.text_col))
-    scored = docs.select(
-        args.id_col,
-        args.group_col,
-        F.round(
-            stopword_hits(F.col(args.text_col), "en") / F.size(w), 4
-        ).alias("score"),
-    )
+    if args.quality_metric == "unigram_nll":
+        from pgweasel_spark.operators.textstats import (
+            unigram_logprob_score,
+        )
+
+        # negate so "keep at/above the q-th percentile" keeps the
+        # FLUENT (low-NLL) tail, matching the stopword gate's polarity
+        nll = unigram_logprob_score(
+            docs, text_col=args.text_col, key_col=args.id_col
+        )
+        scored = docs.select(args.id_col, args.group_col).join(
+            nll.select(
+                args.id_col, (-F.col("mean_nll")).alias("score")
+            ),
+            args.id_col,
+        )
+    else:
+        w = words(F.col(args.text_col))
+        scored = docs.select(
+            args.id_col,
+            args.group_col,
+            F.round(
+                stopword_hits(F.col(args.text_col), "en") / F.size(w), 4
+            ).alias("score"),
+        )
     quality = quantile_quality_gate(
         scored,
         score_col="score",

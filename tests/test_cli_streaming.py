@@ -894,6 +894,63 @@ def test_run_curate_job_entry(spark, tmp_path):
     assert res["rows"]["curated"] < 9
 
 
+def test_run_curate_unigram_quality_metric(spark, tmp_path):
+    """--quality-metric unigram_nll scores docs by (negated) corpus
+    unigram NLL: the gibberish doc lands in its source's bottom
+    quantile and is dropped; fluent repeats survive."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.run_curate import main as curate_main
+
+    common = " ".join(f"word{j % 8}" for j in range(30))
+    rows = [
+        {"doc_id": i, "source": "a", "text": common} for i in range(6)
+    ]
+    rows.append(
+        {
+            "doc_id": 50,
+            "source": "a",
+            # every token corpus-unique → maximal mean NLL
+            "text": " ".join(f"xq{j}zz" for j in range(30)),
+        }
+    )
+    indir = str(tmp_path / "docs_unll")
+    os.makedirs(indir)
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("source", pa.string()),
+                    ("text", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(indir, "part0.parquet"),
+    )
+    out = str(tmp_path / "cur_unll")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_main(
+            [
+                "--input", indir, "--out", out,
+                "--quality-metric", "unigram_nll",
+                "--quality-q", "0.2",
+            ]
+        )
+    assert rc == 0
+    qual = {
+        r["doc_id"]: r["keep"]
+        for r in spark.read.parquet(os.path.join(out, "quality")).collect()
+    }
+    assert qual[50] is False      # gibberish = bottom tail
+    assert all(qual[i] for i in range(6))
+
+
 def test_run_curate_line_gate_args(spark, tmp_path):
     """The r5 line-level Gopher thresholds are wired through run_curate:
     a duplicate-line doc survives the default gate but is rejected when
