@@ -53,7 +53,14 @@ class Manifest:
         sink_counts: dict[str, int],
         input_rows: int,
         elapsed_s: float,
+        partition_counts: dict[str, int] | None = None,
     ) -> None:
+        """Record a completed day. ``partition_counts`` is the full
+        per-output-partition lineage — "sink/host_bucket" → rows for
+        this day, i.e. row counts at the granularity the table is
+        physically partitioned (north rule: per-partition lineage +
+        row-count metrics). Bounded: ≤ sinks × n_buckets keys per
+        day."""
         self.days[day] = {
             "status": "complete",
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -61,4 +68,6 @@ class Manifest:
             "sink_counts": sink_counts,
             "elapsed_s": round(elapsed_s, 3),
         }
+        if partition_counts is not None:
+            self.days[day]["partition_counts"] = partition_counts
         self.save()

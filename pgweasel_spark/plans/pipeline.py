@@ -247,19 +247,25 @@ def run(
         in_rows = {
             d: obs.get[f"d{i}"] for i, d in enumerate(pending)
         }
-        # per-sink per-day routed counts from the *written* table (cheap:
-        # routed output is a small fraction of input)
+        # per-PARTITION per-day routed counts from the *written* table
+        # (cheap: routed output is a small fraction of input, and the
+        # result is bounded by days × sinks × n_buckets): the manifest
+        # records lineage at the granularity the table is physically
+        # partitioned (north rule), with per-sink totals derived
         written = spark.read.parquet(routed_path)
         day_str = F.date_format(F.col("warc_day"), "yyyy-MM-dd")
         counts = (
             written.where(day_str.isin(pending))
-            .groupBy(day_str.alias("d"), "sink")
+            .groupBy(day_str.alias("d"), "sink", "host_bucket")
             .count()
             .collect()
         )
         per_day: dict[str, dict[str, int]] = {d: {} for d in pending}
+        per_part: dict[str, dict[str, int]] = {d: {} for d in pending}
         for r in counts:
-            per_day[r["d"]][r["sink"]] = r["count"]
+            sinks = per_day[r["d"]]
+            sinks[r["sink"]] = sinks.get(r["sink"], 0) + r["count"]
+            per_part[r["d"]][f"{r['sink']}/{r['host_bucket']}"] = r["count"]
         elapsed = time.time() - t0
         for d in pending:
             manifest.mark_complete(
@@ -267,6 +273,7 @@ def run(
                 per_day[d],
                 input_rows=in_rows.get(d, 0),
                 elapsed_s=elapsed / len(pending),
+                partition_counts=per_part[d],
             )
             for s, c in per_day[d].items():
                 sink_counts[s] = sink_counts.get(s, 0) + c

@@ -20,12 +20,22 @@ def test_run_all_then_resume_noop(spark, webtext_dir, tmp_path):
     assert res2.days_processed == []
     assert set(res2.days_skipped) == set(res1.days_processed)
 
-    # manifest carries per-day per-sink lineage
+    # manifest carries per-day per-sink AND per-physical-partition
+    # lineage (sink/host_bucket granularity — the table's partition
+    # spec), with sink totals equal to the partition sums
     m = Manifest.load(os.path.join(out, "manifest.json"))
     assert m.completed_days() == set(res1.days_processed)
     for day, entry in m.days.items():
         assert entry["input_rows"] > 0, day
         assert entry["sink_counts"], day
+        parts = entry["partition_counts"]
+        assert parts, day
+        by_sink: dict[str, int] = {}
+        for key, cnt in parts.items():
+            sink, bucket = key.rsplit("/", 1)
+            assert 0 <= int(bucket) < 16
+            by_sink[sink] = by_sink.get(sink, 0) + cnt
+        assert by_sink == entry["sink_counts"], day
 
 
 def test_incremental_day_batches_match_full_run(spark, webtext_dir, tmp_path):
