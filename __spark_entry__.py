@@ -1284,6 +1284,23 @@ def q_t12_unigram_nll(spark, sf_dir):
     return unigram_logprob_score(d).orderBy("doc_id")
 
 
+def q_d14_semantic_decontam(spark, sf_dir):
+    """Semantic benchmark decontamination
+    (dedup.semantic_decontaminate): max round-6 cosine of every corpus
+    vector against a deterministic eval subset (vec_id % 20 == 0),
+    nearest benchmark id with ties to the smallest id, contaminated at
+    >= 0.5. Scale shape: benchmark collected once + broadcast, corpus
+    side one map-only Arrow GEMM pass — no shuffle, no join; the
+    oracle restates the full cross-product max in SQL."""
+    from pgweasel_spark.operators.dedup import semantic_decontaminate
+
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.where(F.col("vec_id") % 20 == 0)
+    return semantic_decontaminate(
+        e, bench, threshold=0.5
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver's correctness harness
     oracle-checks the FIRST 50 entries only; positions 51+ are verified
@@ -1375,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_token_shards": q_w3_token_shards,
         "t11_tfidf_topk": q_t11_tfidf_topk,
         "t12_unigram_nll": q_t12_unigram_nll,
+        "d14_semantic_decontam": q_d14_semantic_decontam,
     }
 
 
@@ -2105,6 +2123,31 @@ def oracle_sql() -> dict[str, str]:
                    ellipsis_line_frac, dup_line_frac, mean_word_len,
                    (reason IS NULL) AS keep, reason
             FROM gate ORDER BY doc_id
+        """,
+        "d14_semantic_decontam": """
+            WITH bench AS (
+              SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+              FROM embeddings WHERE vec_id % 20 = 0
+            ), corpus AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), sims AS (
+              SELECT c.vec_id, b.bid,
+                     round(list_dot_product(c.v, b.bv)
+                           / (sqrt(list_dot_product(c.v, c.v))
+                              * sqrt(list_dot_product(b.bv, b.bv))), 6)
+                       AS cos
+              FROM corpus c CROSS JOIN bench b
+            ), ranked AS (
+              SELECT vec_id, bid, cos,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos DESC, bid) AS rn
+              FROM sims
+            )
+            SELECT vec_id, cos AS max_cosine,
+                   bid AS nearest_benchmark_id,
+                   cos >= 0.5 AS contaminated
+            FROM ranked WHERE rn = 1 ORDER BY vec_id
         """,
         "d6_embed_neardup": """
             WITH e AS (

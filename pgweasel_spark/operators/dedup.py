@@ -329,6 +329,79 @@ def decontaminate_overlap(
     )
 
 
+def semantic_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic benchmark decontamination: per corpus vector, the max
+    round-6 cosine against a (small) benchmark/eval embedding set, the
+    nearest benchmark id (ties → smallest id) and a contaminated flag —
+    the embedding-space complement of :func:`decontaminate_overlap` for
+    paraphrased eval leakage that n-gram collision misses.
+
+    Scale shape: the benchmark matrix is collected ONCE (eval suites
+    are thousands-to-millions of rows vs a 10^12 corpus), L2-normalized
+    and broadcast; the corpus side is a single map-only ``mapInPandas``
+    pass — each Arrow batch runs one (batch × dim)·(dim × n_bench) BLAS
+    GEMM. No shuffle, no join, no corpus-side state; the pass pipelines
+    into the scan. A benchmark too large for one broadcast matrix
+    shards into several passes composed with an elementwise max."""
+    import numpy as np
+
+    rows = (
+        benchmark.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not rows:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("max_cosine"),
+            F.lit(None).cast("long").alias("nearest_benchmark_id"),
+            F.lit(False).alias("contaminated"),
+        )
+    # sort by id so np.argmax's first-max rule breaks round-6 ties
+    # toward the smallest benchmark id (the oracle's ORDER BY cos DESC,
+    # bid ASC)
+    rows.sort(key=lambda r: r[0])
+    bids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    B = np.asarray([r[1] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(B, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    Bt = np.ascontiguousarray((B / nrm).T)
+    bc = df.sparkSession.sparkContext.broadcast((Bt, bids))
+    thr = float(threshold)
+
+    def batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        Bt_, bids_ = bc.value
+        for pdf in it:
+            M = _np.asarray(pdf[vec_col].tolist(), dtype=_np.float64)
+            mn = _np.linalg.norm(M, axis=1, keepdims=True)
+            mn[mn == 0.0] = 1.0
+            S = _np.round((M / mn) @ Bt_, 6)
+            j = S.argmax(axis=1)
+            s = S[_np.arange(len(M)), j]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "max_cosine": s,
+                    "nearest_benchmark_id": bids_[j],
+                    "contaminated": s >= thr,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        batches,
+        f"{id_col} long, max_cosine double, "
+        "nearest_benchmark_id long, contaminated boolean",
+    )
+
+
 #: SQL fragment: engine-portable 60-bit word hash — the top 15 hex chars
 #: of md5 as an integer. Same scheme as the minhash signatures (seeded
 #: md5): DuckDB can state the identical value, so the simhash operator is

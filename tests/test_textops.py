@@ -1010,6 +1010,40 @@ def test_wav_decode_real_samples(spark):
     assert out[1][3] == _pytest.approx(0.5 / 2**0.5, rel=1e-2)
 
 
+def test_semantic_decontaminate(spark):
+    """Map-only broadcast GEMM decontamination: benchmark members score
+    1.0 against themselves, a near-copy crosses the threshold, an
+    orthogonal vector does not; ties resolve to the smallest benchmark
+    id; empty benchmark → nothing contaminated."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # benchmark member
+        (1, [0.0, 1.0, 0.0, 0.0]),   # benchmark member
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-copy of 0
+        (3, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to benchmark
+        # equidistant from both benchmark vectors → tie → bid 0
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bench = e.where(F.col("vec_id") <= 1)
+    out = {
+        r["vec_id"]: r
+        for r in dedup.semantic_decontaminate(
+            e, bench, threshold=0.9
+        ).collect()
+    }
+    assert out[0]["max_cosine"] == 1.0 and out[0]["contaminated"]
+    assert out[0]["nearest_benchmark_id"] == 0
+    assert out[2]["contaminated"] and out[2]["nearest_benchmark_id"] == 0
+    assert out[3]["max_cosine"] == 0.0 and not out[3]["contaminated"]
+    assert out[4]["nearest_benchmark_id"] == 0  # tie → smallest id
+    empty = dedup.semantic_decontaminate(
+        e, bench.where(F.lit(False)), threshold=0.9
+    ).collect()
+    assert all(
+        not r["contaminated"] and r["max_cosine"] is None for r in empty
+    )
+
+
 def test_near_dup_groups_empty_pairs(spark):
     empty = spark.createDataFrame([], "doc1 long, doc2 long")
     assert dedup.near_dup_groups(empty).collect() == []
