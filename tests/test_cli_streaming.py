@@ -179,6 +179,47 @@ def test_streaming_batch_metrics_lineage(spark, webtext_dir, tmp_path):
     assert sum(r["input_rows"] for r in rows) > 0
 
 
+def test_sampling_ops_are_streaming_safe(spark, tmp_path):
+    """hash_split / stratified_sample are pure projections, so they
+    compose with Structured Streaming unchanged — and being
+    hash-deterministic, the streamed assignments equal the batch ones
+    row-for-row (a random()-based sampler could not satisfy this)."""
+    from pgweasel_spark.operators import sampling
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    batch.write.parquet(str(src / "p0"))
+
+    stream_df = spark.readStream.schema(
+        "doc_id long, source string"
+    ).parquet(str(src / "p0"))
+    out = sampling.stratified_sample(
+        sampling.hash_split(stream_df), {"a": 0.6, "b": 0.3}
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("samp_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["doc_id"], r["split"])
+        for r in spark.sql("SELECT * FROM samp_stream").collect()
+    }
+    expected = {
+        (r["doc_id"], r["split"])
+        for r in sampling.stratified_sample(
+            sampling.hash_split(batch), {"a": 0.6, "b": 0.3}
+        ).collect()
+    }
+    assert streamed == expected and streamed
+
+
 def test_streaming_jsonlog_matches_batch_pipeline(spark, tmp_path):
     """Streaming S8: tailing a jsonlog directory with availableNow must
     route the same per-sink rows as the batch jsonlog pipeline over the
