@@ -1301,6 +1301,21 @@ def q_d14_semantic_decontam(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_c1_doc_chunks(spark, sf_dir):
+    """Overlapping word-window chunking (textstats.chunk_documents):
+    16-word chunks, 4-word overlap (stride 12) — the RAG /
+    context-packing fan-out. Map-only: one split per doc, all slices in
+    one JVM transform, posexplode; the oracle restates the window
+    arithmetic (n_chunks = max(ceil((n−overlap)/stride), 1), slice
+    boundaries, remainder chunk) with DuckDB list slicing."""
+    from pgweasel_spark.operators.textstats import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_words=16, overlap=4).orderBy(
+        "doc_id", "chunk_no"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is load-bearing: the driver's correctness harness
     oracle-checks the FIRST 50 entries only; positions 51+ are verified
@@ -1393,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_tfidf_topk": q_t11_tfidf_topk,
         "t12_unigram_nll": q_t12_unigram_nll,
         "d14_semantic_decontam": q_d14_semantic_decontam,
+        "c1_doc_chunks": q_c1_doc_chunks,
     }
 
 
@@ -1911,6 +1927,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
                      AS shard
             FROM c ORDER BY doc_id
+        """,
+        # c1: chunk_words=16, overlap=4 → stride 12. DuckDB list slice
+        # ws[a:b] is 1-based end-INCLUSIVE (clamped), mirroring Spark's
+        # slice(start, length) on the same boundaries.
+        "c1_doc_chunks": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), c AS (
+              SELECT doc_id, ws,
+                     greatest(CAST(ceil((len(ws) - 4) / 12.0) AS BIGINT),
+                              1) AS nc
+              FROM w
+            ), x AS (
+              SELECT doc_id,
+                     unnest([{no: i,
+                              txt: array_to_string(
+                                ws[(i*12 + 1):(i*12 + 16)], ' ')}
+                             for i in range(0, CAST(nc AS INT))]) AS u
+              FROM c
+            )
+            SELECT doc_id, CAST(u.no AS INT) AS chunk_no,
+                   u.txt AS chunk_text,
+                   CAST(len(string_split(u.txt, ' ')) AS BIGINT)
+                     AS n_tokens
+            FROM x ORDER BY doc_id, chunk_no
         """,
         "t12_unigram_nll": """
             WITH toks AS (

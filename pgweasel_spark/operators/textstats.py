@@ -497,6 +497,52 @@ def tfidf_top_terms(
     return ranked
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk_words: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Overlapping fixed-size word-window chunking — the RAG /
+    context-length-packing preprocessing pass: chunk i covers words
+    [i·stride + 1, i·stride + chunk_words] with stride = chunk_words −
+    overlap, n_chunks = max(ceil((n − overlap) / stride), 1), so every
+    word lands in ≥1 chunk, consecutive chunks share ``overlap`` words,
+    and the final chunk absorbs the remainder (may be shorter). Output
+    one row per (doc, chunk_no) with the chunk text and its token
+    count.
+
+    Scale shape: split once into a words attribute, build all chunk
+    slices in one JVM transform, posexplode — map-only, no shuffle;
+    the fan-out is ~n/stride rows per doc, the same class as the sink
+    explode. Words are the single-space split (t5/dedup convention)."""
+    from pgweasel_spark.operators.dedup import words as _w
+
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    stride = chunk_words - overlap
+    n = F.size(F.col("_w"))
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))), F.lit(1)
+    ).cast("int")
+    chunks = F.expr(
+        f"transform(sequence(0, _nc - 1),"
+        f" i -> concat_ws(' ', slice(_w, i * {stride} + 1, {chunk_words})))"
+    )
+    return (
+        df.select(key_col, _w(F.col(text_col)).alias("_w"))
+        .withColumn("_nc", n_chunks)
+        .select(key_col, F.posexplode(chunks).alias("chunk_no", "chunk_text"))
+        .select(
+            key_col,
+            F.col("chunk_no").cast("int"),
+            "chunk_text",
+            F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",

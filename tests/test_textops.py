@@ -1335,6 +1335,37 @@ def test_tfidf_top_terms(spark):
     assert all(len(v) == 2 for v in out.values())
 
 
+def test_chunk_documents(spark):
+    """Chunk boundaries, overlap and remainder semantics hand-checked;
+    full coverage (every word in >=1 chunk); short docs yield exactly
+    one chunk."""
+    from pgweasel_spark.operators.textstats import chunk_documents
+
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(df, chunk_words=10, overlap=4).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    # doc1: n=25, stride=6, n_chunks=ceil(21/6)=4
+    c1 = sorted(out[1], key=lambda r: r["chunk_no"])
+    assert [r["chunk_no"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["chunk_text"].split() == words[0:10]
+    assert c1[1]["chunk_text"].split() == words[6:16]   # 4-word overlap
+    assert c1[3]["chunk_text"].split() == words[18:25]  # remainder
+    assert c1[3]["n_tokens"] == 7
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(words)
+    # short doc: one chunk, verbatim
+    assert len(out[2]) == 1 and out[2][0]["chunk_text"] == "tiny doc"
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_words=10, overlap=10)
+
+
 def test_unigram_logprob_score(spark):
     """Hand-checkable: rarer tokens raise a doc's mean NLL; a doc of
     only the commonest token scores the corpus minimum; n_tokens is
