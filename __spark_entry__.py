@@ -39,13 +39,103 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: path → parquet row-group count (scan-splittability metadata, NOT a
+#: result cache: it never touches row values and is invalidated only by
+#: pointing at different files)
+_RG_CACHE: dict[str, int] = {}
+
+
+def _usable_splits(path: str) -> int:
+    """Max usable scan parallelism of a parquet table: Spark assigns one
+    task per row GROUP (byte-range splits place each row group at the
+    task holding its midpoint), so a single-row-group file is an
+    unsplittable input no matter how small maxPartitionBytes is set —
+    the guide §2.5 'one huge unsplittable file' input-skew case, which
+    is exactly what the driver's testdata tables are (one file, one
+    row group)."""
+    import glob
+
+    if path in _RG_CACHE:
+        return _RG_CACHE[path]
+    import pyarrow.parquet as pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    n = 0
+    for f in files:
+        n += pq.ParquetFile(f).metadata.num_row_groups
+        if n >= 4096:
+            break
+    _RG_CACHE[path] = n
+    return n
+
+
+def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan with a parallelism floor (guide §2.5: 'repartition
+    immediately after the read'): when the table has fewer row groups
+    than cores — the unsplittable single-row-group testdata case, where
+    every map stage otherwise runs on ONE core — round-robin repartition
+    to defaultParallelism so the expensive per-row work downstream
+    (shingle folds, md5 minhash, regex chains) runs on all cores. The
+    guard makes this scale-adaptive: any production-sized table has
+    row groups >> cores and the repartition (a shuffle of the whole
+    input — never acceptable at 100 TB) is skipped entirely. Used only
+    by queries whose map-side work dominates the tiny one-time shuffle
+    (measured per query in OPTIMIZATION_r06.md)."""
+    df = _t(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if _usable_splits(path) >= n:
+        return df
+    return df.repartition(n)
+
+
+#: slice keys for _t_fan (non-null unique ids → pmod covers every row
+#: exactly once)
+_FAN_KEYS = {"events": "event_id", "documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _t_fan(
+    spark: SparkSession, sf_dir: str, name: str, n_slices: int = 16
+) -> DataFrame:
+    """Scan parallelized WITHOUT a shuffle: union of ``n_slices``
+    disjoint hash-slice scans of the same table (branch i keeps rows
+    with pmod(xxhash64(key), n) == i). Each union branch re-decodes the
+    row group but evaluates the query's expensive projections/filters
+    only on its own 1/n slice, and the whole union is ONE stage — no
+    exchange, so nothing pays the single-core shuffle-write that a
+    repartition of a wide table costs (measured ~2.5 s for the 1M-row
+    events table vs ~0.4 s of fan overhead). The right tool when the
+    downstream work is heavy relative to the scan decode (guide §2.5 /
+    §2.4: remove the shuffle outright); _t_par is better when the
+    shuffled columns are narrow. Same scale guard as _t_par: a
+    production table with row groups >= cores fans out naturally and
+    this is a no-op."""
+    df = _t(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if _usable_splits(path) >= n:
+        return df
+    h = F.pmod(F.xxhash64(F.col(_FAN_KEYS[name])), F.lit(n_slices))
+    out = df.where(h == 0)
+    for i in range(1, n_slices):
+        out = out.unionAll(df.where(h == i))
+    return out
+
+
 #: 13 csvlog fields (field 12 = severity, 13 = sql_state) preceding the
 #: message field in the constructed P6 lines — identical in both engines
 _CSV13_PREFIX = "f1,f2,f3,f4,f5,f6,f7,f8,f9,f10,f11,LOG,00000,"
 
 
 def _events_with_lines(
-    spark: SparkSession, sf_dir: str, only: list[str] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    only: list[str] | None = None,
+    fan: bool = False,
 ) -> DataFrame:
     """events + deterministically constructed pgweasel-grammar log lines
     (identical construction in the DuckDB oracles).
@@ -57,8 +147,18 @@ def _events_with_lines(
     doubled when p2/p6/f2/f5/f6/a4c landed, and every count()-pruned
     micro-query picked up ~0.1-0.2s of pure plan-compile time. A single
     ``withColumns`` call (one analysis pass, not 12 chained ones) with
-    only the needed expressions restores the r1 driver cost."""
-    ev = _t(spark, sf_dir, "events")
+    only the needed expressions restores the r1 driver cost.
+
+    ``fan=True`` parallelizes the unsplittable events scan via
+    ``_t_fan`` — used by the queries whose per-row line construction +
+    extraction dominates (f2/d10/a4c, measured in OPTIMIZATION_r06.md);
+    the cheap grok queries keep the plain scan (the fan's ~0.4 s fixed
+    decode overhead exceeds their win)."""
+    ev = (
+        _t_fan(spark, sf_dir, "events")
+        if fan
+        else _t(spark, sf_dir, "events")
+    )
     k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("int")
     sev_line = (
         F.when(k < 20, F.lit("LOG:  checkpoint starting ERROR: nested"))
@@ -515,7 +615,7 @@ def q_f2_min_severity(spark, sf_dir):
     EXCLUDES panic records) — the gate that guards every sink."""
     from pgweasel_spark.operators import route
 
-    ev = _events_with_lines(spark, sf_dir, only=['gate_line'])
+    ev = _events_with_lines(spark, sf_dir, only=['gate_line'], fan=True)
     sev = X.severity_plain(F.col("gate_line"))
     out = ev.select(
         "event_id",
@@ -550,7 +650,7 @@ def q_a4c_conn_by_dim(spark, sf_dir):
     running the production extraction + the salted by-dim aggregate."""
     from pgweasel_spark.operators import aggregates as agg_ops
 
-    ev = _events_with_lines(spark, sf_dir, only=['conn_line'])
+    ev = _events_with_lines(spark, sf_dir, only=['conn_line'], fan=True)
     line = F.col("conn_line")
     frame = ev.select(
         F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("url"),
@@ -676,7 +776,7 @@ def q_d10_url_dedup(spark, sf_dir):
     ``\\1`` backrefs + 'g' flag vs Java ``$1``; same semantics)."""
     from pgweasel_spark.operators.urls import url_dedup
 
-    ev = _events_with_lines(spark, sf_dir, only=["url_line"])
+    ev = _events_with_lines(spark, sf_dir, only=["url_line"], fan=True)
     return url_dedup(
         ev.select("event_id", "url_line"),
         url_col="url_line",
@@ -803,7 +903,7 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     inequality formulation — an independent statement of the same set."""
     from pgweasel_spark.operators.dedup import ngram_jaccard_near_dups
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return ngram_jaccard_near_dups(d).orderBy("doc1", "doc2")
 
 
@@ -819,7 +919,7 @@ def q_d11_minhash_lsh(spark, sf_dir):
     this family's only end-to-end proof was a 6-doc pytest."""
     from pgweasel_spark.operators.dedup import minhash_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return minhash_dedup(d, jaccard_threshold=0.8).orderBy("doc1", "doc2")
 
 
@@ -844,7 +944,7 @@ def q_d7_chunk_dup(spark, sf_dir):
     dedup policies. Two shuffles, both on uniform md5 chunk hashes."""
     from pgweasel_spark.operators.dedup import chunk_dup_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return chunk_dup_stats(d).orderBy("doc_id")
 
 
@@ -855,8 +955,12 @@ def q_d8_decontaminate(spark, sf_dir):
     n-gram-collision contamination check for training data."""
     from pgweasel_spark.operators.dedup import decontaminate_overlap
 
-    d = _t(spark, sf_dir, "documents")
-    bench = d.where(F.col("doc_id") < 10)
+    # corpus side gets the parallelism floor (the 8-gram explode is the
+    # dominant map cost); the benchmark side stays a plain scan — a
+    # spread there would drag the repartition exchange into the tiny
+    # broadcast subtree for 10 rows
+    d = _t_par(spark, sf_dir, "documents")
+    bench = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
     return decontaminate_overlap(d, bench).orderBy("doc_id")
 
 
@@ -896,7 +1000,7 @@ def q_t2_quality(spark, sf_dir):
 
 def q_t3_langid(spark, sf_dir):
     """Language-ID heuristic: stopword-hit argmax across 3 languages."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     def _hits(ws):
         return F.size(F.filter(_words(), lambda w: w.isin(*ws)))
 
@@ -937,7 +1041,7 @@ def q_t5_repetition(spark, sf_dir):
     per-doc aggregate, uniform keys both shuffles."""
     from pgweasel_spark.operators.textstats import repetition_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return repetition_stats(d).orderBy("doc_id")
 
 
@@ -1037,7 +1141,7 @@ def q_d5_simhash(spark, sf_dir):
     oracle restates the identical arithmetic with list comprehensions."""
     from pgweasel_spark.operators.dedup import simhash60
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return d.select("doc_id", simhash60("text").alias("simhash"))
 
 
@@ -1084,7 +1188,9 @@ def q_d9_dup_groups(spark, sf_dir):
         max_hamming=8,
         allow_partial_recall=True,
     )
-    return near_dup_groups(pairs)
+    # simhash_near_dups pairs end in .distinct(), so the doubled edge
+    # list is unique by construction — skip the redundant edge shuffle
+    return near_dup_groups(pairs, dedupe_edges=False)
 
 
 def q_t7_gopher_gate(spark, sf_dir):
@@ -1194,7 +1300,7 @@ def q_t8_vocab_topk(spark, sf_dir):
     (cnt DESC, gram ASC) tie-break so both engines agree exactly."""
     from pgweasel_spark.operators.textstats import vocab_top_ngrams
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return vocab_top_ngrams(d, n=2, k=50)
 
 
@@ -1268,8 +1374,12 @@ def q_t11_tfidf_topk(spark, sf_dir):
     restates every value via the identical ln(N/df) arithmetic."""
     from pgweasel_spark.operators.textstats import tfidf_top_terms
 
-    d = _t(spark, sf_dir, "documents")
-    return tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+    # n_docs from the plain scan (parquet metadata count — no job worth
+    # naming); the spread frame feeds the tf/df computation so the
+    # tokenize+explode map side runs on all cores
+    n_docs = _t(spark, sf_dir, "documents").count()
+    d = _t_par(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3, n_docs=n_docs).orderBy("doc_id", "rank")
 
 
 def q_t12_unigram_nll(spark, sf_dir):
@@ -1280,7 +1390,7 @@ def q_t12_unigram_nll(spark, sf_dir):
     partial-agg mean; round-6 so the oracle checks every value."""
     from pgweasel_spark.operators.textstats import unigram_logprob_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_par(spark, sf_dir, "documents")
     return unigram_logprob_score(d).orderBy("doc_id")
 
 

@@ -432,6 +432,7 @@ def tfidf_top_terms(
     key_col: str = "doc_id",
     k: int = 5,
     n_docs: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-document top-k terms by TF-IDF (tf · ln(N/df)) — the classic
     corpus-statistics signal for keyword extraction / topic drift
@@ -448,7 +449,18 @@ def tfidf_top_terms(
     doc's own distinct-term count, which the upstream length gates
     bound. ``n_docs`` skips the corpus count job when the caller knows
     N (manifest lineage). Words are the single-space split (t5/dedup
-    convention)."""
+    convention).
+
+    The tf frame feeds BOTH the df aggregation and the scored join, so
+    it is persisted (memory+disk): without the cache the
+    tokenize+explode+partial-agg subtree — the dominant map cost —
+    materializes once per consumer (two full corpus passes; AQE's
+    exchange reuse does not reliably collapse them once the input
+    carries its own repartition). Same cache-lifetime contract as
+    lsh_candidate_pairs: pass ``cache_registry`` in long-lived
+    sessions; bench/selfcheck clear the cache between queries."""
+    from pyspark import StorageLevel
+
     from pgweasel_spark.operators.dedup import words as _w
 
     if n_docs is None:
@@ -458,7 +470,9 @@ def tfidf_top_terms(
     )
     tf = toks.groupBy(key_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(tf)
     docfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_cnt")
     )
@@ -548,6 +562,7 @@ def unigram_logprob_score(
     text_col: str = "text",
     key_col: str = "doc_id",
     total_tokens: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-doc mean unigram negative log-probability under the corpus's
     OWN unigram distribution — the cheap perplexity proxy (the
@@ -565,18 +580,36 @@ def unigram_logprob_score(
     the per-doc mean is one more partial-agg groupBy. ``total_tokens``
     skips the total-count job when lineage already knows it (it is the
     sum the manifest's token accounting carries). Words are the
-    single-space split (t5/dedup convention)."""
+    single-space split (t5/dedup convention).
+
+    Two r6 shape fixes, values unchanged: (a) the fallback total is a
+    map-only Σ size(words) over the corpus — arithmetically identical
+    to Σ_term cnt (every token counted exactly once either way; a
+    focused test pins the equality) but one scan with no explode, no
+    shuffle, instead of a full second tokenize+tf+freq pass; (b) tf is
+    persisted because both the freq aggregation and the scored join
+    consume it (same rationale and cache contract as
+    tfidf_top_terms)."""
+    from pyspark import StorageLevel
+
     from pgweasel_spark.operators.dedup import words as _w
 
+    if total_tokens is None:
+        total_tokens = (
+            df.select(
+                F.sum(F.size(_w(F.col(text_col)))).alias("n")
+            ).first()["n"]
+            or 0
+        )
     toks = df.select(
         key_col, F.explode(_w(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(key_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(tf)
     freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    if total_tokens is None:
-        total_tokens = freq.agg(F.sum("cnt")).first()[0] or 0
     scored = tf.join(freq, "term").select(
         key_col,
         F.col("tf"),

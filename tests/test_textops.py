@@ -58,10 +58,10 @@ def test_minhash_lsh_finds_near_dup(docs):
 
 
 def test_minhash_dedup_cache_registry(docs, spark):
-    """minhash_dedup persists two frames (signatures + candidates);
-    cache_registry hands both back so long-lived callers can unpersist
-    after materializing — without it, repeated invocations accumulate
-    cached RDDs (ADVICE r4)."""
+    """minhash_dedup persists three frames (signatures + candidates +
+    r6's candidate shingles); cache_registry hands them all back so
+    long-lived callers can unpersist after materializing — without it,
+    repeated invocations accumulate cached RDDs (ADVICE r4)."""
     spark.catalog.clearCache()
     sc = spark.sparkContext
     # baseline-relative: earlier tests may leave checkpoint RDDs that
@@ -72,7 +72,7 @@ def test_minhash_dedup_cache_registry(docs, spark):
         docs, jaccard_threshold=0.5, cache_registry=handles
     )
     out.count()  # materialize → both persists are live
-    assert len(handles) == 2
+    assert len(handles) == 3
     assert all(
         h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles
     )
@@ -1437,3 +1437,64 @@ def test_quantile_quality_gate(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_total_tokens_maponly_equals_freq_sum(spark):
+    """r6 shape fix: the fallback corpus total is now a map-only
+    Σ size(words) instead of a second tokenize+tf+freq pass — must
+    equal Σ_term cnt exactly, including the single-space-split edge
+    conventions (empty text = one empty token, a double space yields
+    an empty middle token)."""
+    from pyspark.sql import functions as F
+
+    from pgweasel_spark.operators.dedup import words
+    from pgweasel_spark.operators.textstats import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, "x  y")],
+        "doc_id long, text string",
+    )
+    freq_total = (
+        df.select(F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .count()
+        .agg(F.sum("count"))
+        .first()[0]
+    )
+    map_total = df.select(
+        F.sum(F.size(words(F.col("text"))))
+    ).first()[0]
+    assert freq_total == map_total == 7
+    # operator fallback path == explicitly injected true total
+    a = sorted(
+        (r["doc_id"], r["mean_nll"], r["n_tokens"])
+        for r in unigram_logprob_score(df).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["mean_nll"], r["n_tokens"])
+        for r in unigram_logprob_score(df, total_tokens=7).collect()
+    )
+    assert a == b
+
+
+def test_near_dup_groups_dedupe_edges_equivalent(spark):
+    """r6: ``dedupe_edges=False`` (skips the edge distinct when the
+    caller's pairs are pre-deduped) must produce identical groups —
+    even when the input DOES contain duplicate/reversed pairs, since
+    duplicate edges cannot change a min-label fixpoint."""
+    from pgweasel_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 2), (3, 2), (10, 11), (20, 21), (21, 22)],
+        "doc1 long, doc2 long",
+    )
+    a = sorted(map(tuple, near_dup_groups(pairs).collect()))
+    b = sorted(
+        map(tuple, near_dup_groups(pairs, dedupe_edges=False).collect())
+    )
+    assert a == b
+    assert a == [
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    ]
