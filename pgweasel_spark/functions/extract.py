@@ -75,10 +75,14 @@ _CSV14_PROBE = f"^(?:{_CSV_FIELD},){{13}}+"
 
 
 def message_plain(raw: Column) -> Column:
-    extracted = F.regexp_extract(raw, _MESSAGE_PLAIN_RE, 1)
     # distinguish "no ': ' in record" (None) from a legitimately empty
-    # message after the colon-space
-    return F.when(F.instr(raw, ": ") > 0, extracted)
+    # message after the colon-space; the instr gate comes first so the
+    # regex scan runs only when a match is possible (CASE WHEN branches
+    # evaluate lazily in codegen)
+    return F.when(
+        F.instr(raw, ": ") > 0,
+        F.regexp_extract(raw, _MESSAGE_PLAIN_RE, 1),
+    )
 
 
 def message_csv(raw: Column) -> Column:
@@ -136,9 +140,18 @@ def _after_needle(raw: Column, needle: str) -> Column:
     # (?s:.) admits newline as the first char exactly like the byte scan,
     # and [^ ,"] also matches newline — the reference's delimiter set is
     # {space, comma, quote} only.
+    #
+    # contains() pre-gate (guide §1.2 per-task work): the needle is a
+    # literal prefix of the pattern, so contains==false ⇒ the regex
+    # cannot match ⇒ null — identical output, but the common no-needle
+    # record pays one UTF8String.indexOf scan instead of a full Java
+    # regex scan (measured on the pipeline spine where 4 kv needles ran
+    # per record; And short-circuits right-to-left evaluation).
     pat = f'{needle}((?s:.)[^ ,"]*)'
     extracted = F.regexp_extract(raw, pat, 1)
-    return F.when(extracted != "", extracted)
+    return F.when(
+        raw.contains(needle) & (extracted != ""), extracted
+    )
 
 
 def host(raw: Column) -> Column:
@@ -163,8 +176,21 @@ _DURATION_RE = r"duration: *([0-9.]+) *([A-Za-z]*)"
 
 
 def duration_ms(raw: Column) -> Column:
-    num = F.regexp_extract(raw, _DURATION_RE, 1)
-    unit = F.regexp_extract(raw, _DURATION_RE, 2)
+    # One full-record scan instead of two: extract the whole first match
+    # (group 0) once, then re-run the pattern on that short substring for
+    # the groups. Group values are identical — the pattern is re-anchored
+    # at position 0 of its own match, where it matches the same way; a
+    # failed full-record match yields "" and "" on "" extracts to ""
+    # for both groups, the original no-match behavior. The contains()
+    # pre-gate skips the regex entirely for records without the literal
+    # "duration:" needle (most of a real corpus), same trick as
+    # _after_needle.
+    m = F.when(
+        raw.contains("duration:"),
+        F.regexp_extract(raw, _DURATION_RE, 0),
+    ).otherwise(F.lit(""))
+    num = F.regexp_extract(m, _DURATION_RE, 1)
+    unit = F.regexp_extract(m, _DURATION_RE, 2)
     v = num.try_cast("double")  # '1.2.3' → null, mirroring f64::parse err
     # ns/us truncate to integer first (Duration::from_nanos(v as u64))
     ms = (
@@ -180,25 +206,61 @@ def duration_ms(raw: Column) -> Column:
 # --- lock / system routing predicates (src/filters/) -----------------------
 
 
+#: exact ASCII case fold (translate args): the same folding Java's
+#: ``(?i:)`` without UNICODE_CASE applies, and the reference's
+#: ascii_case_insensitive Aho-Corasick. ``lower()`` would fold Unicode
+#: (K → k, İ → i̇) and could diverge on exotic bytes.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_folded(raw: Column) -> Column:
+    """ASCII-only lowercase of the record — the shared attribute the
+    contains-chain predicates scan (compute once per record via a
+    let-binding projection; see route.sink_flags)."""
+    return F.translate(raw, ASCII_UPPER, ASCII_LOWER)
+
+
+def _ci_chain(patterns: list[str], folded: Column) -> Column:
+    expr = F.lit(False)
+    for p in patterns:
+        expr = expr | folded.contains(p.lower())
+    return expr
+
+
 def is_lock(raw: Column, lowered: Column | None = None) -> Column:
     """LockingFilter: 17 case-insensitive literals OR case-sensitive
-    ``process [0-9]+ acquired`` (locking_filter.rs:12-83), as ONE Java
-    regex alternation. Java's ``(?i:)`` folds ASCII-only (no
-    UNICODE_CASE flag), exactly matching the reference's
-    ascii_case_insensitive Aho-Corasick. A chain of 17+ ``contains``
-    over a translated column was measured 5x SLOWER here — the wide
-    boolean expression tree drops out of whole-stage codegen, while a
-    single compiled regex node stays in it. ``lowered`` is accepted for
-    back-compat and unused."""
-    _ = lowered
-    return raw.rlike(grammar.lock_regex())
+    ``process [0-9]+ acquired`` (locking_filter.rs:12-83).
+
+    Two engines, identical semantics (Java ``(?i:)`` folds ASCII-only,
+    exactly matching the reference's ascii_case_insensitive
+    Aho-Corasick; the chain path matches lowercase literals against an
+    ASCII-folded copy of the record — same fold):
+
+    - ``lowered=None``: ONE compiled regex alternation — self-contained,
+      used by the standalone filter queries.
+    - ``lowered=ascii_folded(raw)`` as a materialized ATTRIBUTE: chained
+      ``contains`` (fast UTF8String.indexOf per literal) — r6
+      re-measured this 3x faster than the alternation rlike on the
+      bench spine (both flags: 6.9 s vs 20.8 s at bench_sf=1.0, 9.5M
+      records; the r2 '5x slower' note did not reproduce), because the
+      regex engine retries the whole alternation at every byte position
+      while each contains is one memchr-style scan. The fold must be a
+      let-binding attribute so it runs once per record, not per
+      literal."""
+    if lowered is None:
+        return raw.rlike(grammar.lock_regex())
+    return _ci_chain(grammar.LOCK_PATTERNS, lowered) | raw.rlike(
+        "process [0-9]+ acquired"
+    )
 
 
 def is_system(raw: Column, lowered: Column | None = None) -> Column:
-    """SystemFilter: 24 case-insensitive literals (system_filter.rs:12-48)
-    as one ASCII-folding Java regex (see is_lock for why not contains)."""
-    _ = lowered
-    return raw.rlike(grammar.system_regex())
+    """SystemFilter: 24 case-insensitive literals (system_filter.rs:12-48);
+    same dual-engine contract as is_lock."""
+    if lowered is None:
+        return raw.rlike(grammar.system_regex())
+    return _ci_chain(grammar.SYSTEM_PATTERNS, lowered)
 
 
 # --- connections vocabulary (src/aggregators/connections.rs) ---------------

@@ -54,6 +54,12 @@ def sink_flags(
         | msg.startswith(grammar.CONN_AUTHORIZED_PREFIX)
         | X.is_conn_failure(F.col("raw"), F.col("severity"))
     )
+    # ASCII-fold the record ONCE as a let-binding attribute and run the
+    # lock/system literal sets as contains chains against it — r6
+    # re-measured the chains 3x faster than the compiled regex
+    # alternations on the pipeline spine (see X.is_lock); the fold
+    # column is internal and dropped below.
+    df = df.withColumn("_raw_ci", X.ascii_folded(F.col("raw")))
     return (
         df.withColumn("is_quarantined", ~ok_ts)
         .withColumn("sink_errors", ok_ts & (sev_num >= MIN_SEV_ERRORS))
@@ -67,13 +73,13 @@ def sink_flags(
             "sink_locks",
             ok_ts
             & (sev_num >= MIN_SEV_LOG)
-            & X.is_lock(F.col("raw")),
+            & X.is_lock(F.col("raw"), F.col("_raw_ci")),
         )
         .withColumn(
             "sink_system",
             ok_ts
             & (sev_num >= MIN_SEV_LOG)
-            & X.is_system(F.col("raw")),
+            & X.is_system(F.col("raw"), F.col("_raw_ci")),
         )
         .withColumn(
             "sink_stats",
@@ -81,6 +87,7 @@ def sink_flags(
             & (sev_num >= MIN_SEV_LOG)
             & (conn_relevant | F.col("duration_ms").isNotNull()),
         )
+        .drop("_raw_ci")
     )
 
 

