@@ -1300,7 +1300,10 @@ def q_t8_vocab_topk(spark, sf_dir):
     (cnt DESC, gram ASC) tie-break so both engines agree exactly."""
     from pgweasel_spark.operators.textstats import vocab_top_ngrams
 
-    d = _t_par(spark, sf_dir, "documents")
+    # fan (not repartition): the bigram explode + partial agg is the
+    # whole cost and runs per branch; shuffling the text first pays a
+    # single-core write the fan avoids (measured 1.45s vs 1.96s at sf1.0)
+    d = _t_fan(spark, sf_dir, "documents")
     return vocab_top_ngrams(d, n=2, k=50)
 
 

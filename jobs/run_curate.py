@@ -83,6 +83,9 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("pgweasel-curate")
     t0 = time.time()
+    # operator-persisted frames (r6: unigram tf) — unpersisted after the
+    # consuming writes complete, the jobs/run_dedup.py contract
+    caches: list = []
     docs = spark.read.parquet(args.input)
 
     gate = gopher_gate(
@@ -110,7 +113,10 @@ def main(argv: list[str] | None = None) -> int:
         # negate so "keep at/above the q-th percentile" keeps the
         # FLUENT (low-NLL) tail, matching the stopword gate's polarity
         nll = unigram_logprob_score(
-            docs, text_col=args.text_col, key_col=args.id_col
+            docs,
+            text_col=args.text_col,
+            key_col=args.id_col,
+            cache_registry=caches,
         )
         scored = docs.select(args.id_col, args.group_col).join(
             nll.select(
@@ -137,6 +143,8 @@ def main(argv: list[str] | None = None) -> int:
     quality.write.mode("overwrite").parquet(
         os.path.join(args.out, "quality")
     )
+    for h in caches:
+        h.unpersist()
 
     exact = exact_dedup(docs, text_col=args.text_col, key_col=args.id_col)
     exact.write.mode("overwrite").parquet(os.path.join(args.out, "exact"))
