@@ -151,7 +151,8 @@ def _after_needle(raw: Column, needle: str) -> Column:
     # cannot match ⇒ null — identical output, but the common no-needle
     # record pays one UTF8String.indexOf scan instead of a full Java
     # regex scan (measured on the pipeline spine where 4 kv needles ran
-    # per record; And short-circuits right-to-left evaluation).
+    # per record; And evaluates left-to-right and short-circuits, so
+    # the regex branch is skipped when the gate is false).
     pat = f'{needle}((?s:.)[^ ,"]*)'
     extracted = F.regexp_extract(raw, pat, 1)
     return F.when(
