@@ -1159,6 +1159,12 @@ def near_dup_groups(
         # carry the previous label through the checkpoint so the
         # convergence count below is a scan of local blocks, not another
         # join-shuffle per round
+        # LAZY checkpoint: the convergence count below is the round's
+        # one action — it materializes the checkpoint and counts in the
+        # SAME job, where eager=True spent one job checkpointing and a
+        # second scanning the checkpointed blocks (2 driver round-trips
+        # per round → 1; lineage truncation is identical once
+        # materialized).
         stepped = (
             hopped.join(_b(m), hopped["label"] == m["_lid"], "left")
             .select(
@@ -1168,7 +1174,7 @@ def near_dup_groups(
                     F.col("label"), F.coalesce("_llabel", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.where(F.col("label") != F.col("_prev")).count()
         labels = stepped.select("id", "label")
