@@ -641,7 +641,7 @@ def q_f5_locks(spark, sf_dir):
         "event_id",
         "lock_line",
         X.ascii_folded(F.col("lock_line")).alias("_ci"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return base.where(
         X.is_lock(F.col("lock_line"), F.col("_ci"))
     ).select("event_id", "lock_line")
@@ -655,7 +655,7 @@ def q_f6_system(spark, sf_dir):
         "event_id",
         "sys_line",
         X.ascii_folded(F.col("sys_line")).alias("_ci"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return base.where(
         X.is_system(F.col("sys_line"), F.col("_ci"))
     ).select("event_id", "sys_line")
